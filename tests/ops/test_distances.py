@@ -1,0 +1,74 @@
+"""Exact-search kernel vs NumPy brute-force oracle.
+
+Mirrors the reference's oracle pattern (tests/algorithms/test_covertree_v2_2.py:12-43)
+with the tie-aware relaxation SURVEY.md section 7(c) calls for: distance
+*values* are compared with tolerance, not raw index order.
+"""
+
+import numpy as np
+import pytest
+
+from vectordb_retrieval_tpu.ops import distances as dops
+
+import jax.numpy as jnp
+
+
+def _np_l2(q, x):
+    return ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+@pytest.mark.parametrize("n,d,k", [(257, 17, 5), (1000, 64, 20)])
+def test_exact_matches_numpy_oracle(rng, metric, n, d, k):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((9, d)).astype(np.float32)
+    dists, ids = dops.exact_search(jnp.asarray(q), jnp.asarray(x), k, metric=metric)
+    dists, ids = np.asarray(dists), np.asarray(ids)
+
+    full = _np_l2(q, x) if metric == "l2" else -(q @ x.T)
+    oracle_d = np.sort(full, axis=1)[:, :k]
+    np.testing.assert_allclose(np.sort(dists, 1), oracle_d, rtol=1e-2, atol=1e-3)
+    # Retrieved distances must equal the distances of the retrieved ids.
+    gathered = np.take_along_axis(full, ids, axis=1)
+    np.testing.assert_allclose(dists, gathered, rtol=1e-2, atol=1e-3)
+
+
+def test_streamed_equals_dense(rng):
+    x = rng.standard_normal((1000, 32)).astype(np.float32)
+    q = rng.standard_normal((8, 32)).astype(np.float32)
+    for metric in ("l2", "ip"):
+        dd, di = dops._exact_search_dense(
+            jnp.asarray(q), jnp.asarray(x), None, 10, metric
+        )
+        sd, si = dops._exact_search_streamed(
+            jnp.asarray(q), jnp.asarray(x), None, 10, metric, 128
+        )
+        np.testing.assert_allclose(np.asarray(dd), np.asarray(sd), rtol=1e-5)
+        assert np.array_equal(np.asarray(di), np.asarray(si))
+
+
+def test_streamed_handles_ragged_last_chunk(rng):
+    x = rng.standard_normal((130, 16)).astype(np.float32)  # 130 = 128 + 2
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    d, i = dops._exact_search_streamed(
+        jnp.asarray(q), jnp.asarray(x), None, 130, "l2", 128
+    )
+    i = np.asarray(i)
+    assert np.all(i >= 0) and np.all(i < 130)
+    assert np.all(np.isfinite(np.asarray(d)))
+    # every db row retrieved exactly once when k == n
+    for row in i:
+        assert len(set(row.tolist())) == 130
+
+
+def test_normalize_unit_rows(rng):
+    x = rng.standard_normal((50, 8)).astype(np.float32)
+    n = np.asarray(dops.normalize(jnp.asarray(x)))
+    np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-5)
+
+
+def test_k_larger_than_n_raises(rng):
+    x = rng.standard_normal((5, 4)).astype(np.float32)
+    q = rng.standard_normal((2, 4)).astype(np.float32)
+    with pytest.raises(ValueError):
+        dops.exact_search(jnp.asarray(q), jnp.asarray(x), 10)

