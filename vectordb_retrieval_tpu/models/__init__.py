@@ -21,12 +21,16 @@ from vectordb_retrieval_tpu.models.base import (  # noqa: F401
 
 # Importing these modules populates the indexer/searcher registries.
 from vectordb_retrieval_tpu.models import flat  # noqa: F401,E402
+from vectordb_retrieval_tpu.models import factory  # noqa: F401,E402
 from vectordb_retrieval_tpu.models.composite import CompositeAlgorithm  # noqa: E402
 from vectordb_retrieval_tpu.models.exact import ExactSearch  # noqa: E402
+from vectordb_retrieval_tpu.models.approximate import ApproximateSearch  # noqa: E402
 
 ALGORITHM_REGISTRY: Dict[str, Type[BaseAlgorithm]] = {
     "exact": ExactSearch,
     "ExactSearch": ExactSearch,
+    "approx": ApproximateSearch,
+    "ApproximateSearch": ApproximateSearch,
     "composite": CompositeAlgorithm,
     "CompositeAlgorithm": CompositeAlgorithm,
     "modular": CompositeAlgorithm,
@@ -34,15 +38,26 @@ ALGORITHM_REGISTRY: Dict[str, Type[BaseAlgorithm]] = {
 
 
 def _register_optional() -> None:
-    """Populate registries from submodules that may grow over time."""
-    from vectordb_retrieval_tpu.models import ivf, pq, sq, lsh, binary_lsh  # noqa: F401
-    from vectordb_retrieval_tpu.models import graph, covertree  # noqa: F401
+    """Populate registries from submodules added over successive rounds."""
+    try:
+        from vectordb_retrieval_tpu.models import lsh  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from vectordb_retrieval_tpu.models import graph  # noqa: F401
 
-    from vectordb_retrieval_tpu.models.covertree import CoverTree
+        ALGORITHM_REGISTRY.setdefault("hnsw", graph.HNSW)
+        ALGORITHM_REGISTRY.setdefault("HNSW", graph.HNSW)
+    except ImportError:
+        pass
+    try:
+        from vectordb_retrieval_tpu.models.covertree import CoverTree
 
-    ALGORITHM_REGISTRY.setdefault("covertree", CoverTree)
-    ALGORITHM_REGISTRY.setdefault("CoverTree", CoverTree)
-    ALGORITHM_REGISTRY.setdefault("CoverTreeV2_2", CoverTree)
+        ALGORITHM_REGISTRY.setdefault("covertree", CoverTree)
+        ALGORITHM_REGISTRY.setdefault("CoverTree", CoverTree)
+        ALGORITHM_REGISTRY.setdefault("CoverTreeV2_2", CoverTree)
+    except ImportError:
+        pass
 
 
 def get_algorithm_instance(

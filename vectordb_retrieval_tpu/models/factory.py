@@ -1,0 +1,310 @@
+"""Factory indexer (IVF/PQ/SQ grammar) + the generic ANN searcher.
+
+Replaces the reference's FAISS-backed components #4/#12/#13/#15
+(SURVEY.md section 2.1): the ``index_factory`` grammar strings
+``IVF{n},Flat`` / ``IVF{n},PQ{m}`` / ``IVF{n},SQ8`` / ``PQ{m}`` / ``SQ8``
+(reference modular.py:224-289, approximate_search.py:39) are parsed into
+TPU-native artifacts, and ``ANNSearcher`` (reference ``FaissSearcher``,
+modular.py:393-551) dispatches on artifact kind with runtime params
+(``nprobe`` from searcher params or artifact metadata, modular.py:437-441).
+
+Registry aliases keep reference YAML configs loadable verbatim:
+``FaissFactoryIndexer`` -> :class:`FactoryIndexer`,
+``FaissIVFIndexer`` -> :class:`IVFIndexer`, ``FaissSearcher`` ->
+:class:`ANNSearcher`.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vectordb_retrieval_tpu.models.base import (
+    BaseIndexer,
+    BaseSearcher,
+    IndexArtifact,
+    pad_batch,
+    register_indexer,
+    register_searcher,
+)
+from vectordb_retrieval_tpu.ops import distances as dops
+from vectordb_retrieval_tpu.ops import ivf as ivfops
+from vectordb_retrieval_tpu.ops import pq as pqops
+from vectordb_retrieval_tpu.ops import sq as sqops
+from vectordb_retrieval_tpu.ops.kmeans import (
+    kmeans_assign,
+    kmeans_fit,
+    training_sample,
+)
+
+_FACTORY_RE = re.compile(
+    r"^(?:IVF(?P<nlist>\d+),)?(?P<code>Flat|PQ(?P<m>\d+)|SQ8)$"
+)
+
+
+def parse_index_key(index_key: str) -> Dict[str, Any]:
+    """Parse the factory grammar into {nlist?, coding, m?}."""
+    m = _FACTORY_RE.match(index_key.strip())
+    if not m:
+        raise ValueError(
+            f"unsupported index_key {index_key!r}; expected "
+            "IVF{n},Flat | IVF{n},PQ{m} | IVF{n},SQ8 | PQ{m} | SQ8"
+        )
+    out: Dict[str, Any] = {"nlist": None, "coding": "flat", "m": None}
+    if m.group("nlist"):
+        out["nlist"] = int(m.group("nlist"))
+    code = m.group("code")
+    if code == "Flat":
+        out["coding"] = "flat"
+    elif code == "SQ8":
+        out["coding"] = "sq8"
+    else:
+        out["coding"] = "pq"
+        out["m"] = int(m.group("m"))
+    if out["nlist"] is None and out["coding"] == "flat":
+        raise ValueError("bare 'Flat' has no quantization; use BruteForceIndexer")
+    return out
+
+
+def _gather_slots(arr: jax.Array, slot_ids: np.ndarray) -> jax.Array:
+    """Gather rows into padded [nlist, max_len, ...] layout (pad -> row 0)."""
+    safe = jnp.asarray(np.where(slot_ids >= 0, slot_ids, 0))
+    return arr[safe]
+
+
+@register_indexer("FactoryIndexer")
+@register_indexer("FaissFactoryIndexer")
+class FactoryIndexer(BaseIndexer):
+    """Builds quantized artifacts from an ``index_key`` grammar string."""
+
+    def __init__(
+        self,
+        metric: str = "l2",
+        index_key: str = "IVF100,Flat",
+        nprobe: int = 10,
+        train_iters: int = 20,
+        seed: int = 123,
+        **params: Any,
+    ):
+        super().__init__(metric=metric, **params)
+        self.index_key = index_key
+        self.nprobe = int(nprobe)
+        self.train_iters = int(train_iters)
+        self.seed = int(seed)
+
+    def build(self, vectors: np.ndarray, dimension: int) -> IndexArtifact:
+        spec = parse_index_key(self.index_key)
+        x_np = np.ascontiguousarray(vectors, dtype=np.float32)
+        x = jnp.asarray(x_np)
+        if self.metric == "cosine":
+            x = dops.normalize(x)
+        n, d = x.shape
+
+        meta: Dict[str, Any] = {
+            "metric": self.metric,
+            "dimension": int(d),
+            "n_vectors": int(n),
+            "normalize_queries": self.metric == "cosine",
+            "index_key": self.index_key,
+            "nprobe": self.nprobe,
+        }
+
+        if spec["nlist"] is None:
+            return self._build_flat_coded(x, spec, meta)
+        return self._build_ivf(x, spec, meta)
+
+    # -- flat-coded (PQ{m} / SQ8 without IVF) ---------------------------
+    def _build_flat_coded(
+        self, x: jax.Array, spec: Dict[str, Any], meta: Dict[str, Any]
+    ) -> IndexArtifact:
+        n = x.shape[0]
+        sample = training_sample(n, 256, self.seed)
+        train_x = x if sample is None else x[sample]
+        if spec["coding"] == "pq":
+            m = spec["m"]
+            codebooks = pqops.pq_train(
+                train_x, m, seed=self.seed, iters=self.train_iters
+            )
+            codes = pqops.pq_encode(x, codebooks)
+            sqn = pqops.pq_code_sqnorms(codes, codebooks)
+            data = {
+                "codes": codes,
+                "codebooks": codebooks,
+                "code_sqnorms": sqn,
+            }
+            meta["m"] = m
+            return IndexArtifact("pq", jax.block_until_ready(data), meta)
+        vmin, step = sqops.sq_train(x)
+        codes = sqops.sq_encode(x, vmin, step)
+        x_hat = sqops.sq_decode(codes, vmin, step)
+        sqn = jnp.sum(x_hat * x_hat, axis=-1)
+        data = {
+            "codes": codes,
+            "vmin": vmin,
+            "step": step,
+            "code_sqnorms": sqn,
+        }
+        return IndexArtifact("sq8", jax.block_until_ready(data), meta)
+
+    # -- IVF variants ----------------------------------------------------
+    def _build_ivf(
+        self, x: jax.Array, spec: Dict[str, Any], meta: Dict[str, Any]
+    ) -> IndexArtifact:
+        n, d = x.shape
+        nlist = min(spec["nlist"], n)
+        sample = training_sample(n, nlist, self.seed)
+        train_x = x if sample is None else x[sample]
+        centroids, _ = kmeans_fit(
+            train_x, nlist, seed=self.seed, iters=self.train_iters
+        )
+        assignments = np.asarray(kmeans_assign(x, centroids))
+        slot_ids_np, counts, pad_ratio = ivfops.build_padded_lists(
+            assignments, nlist
+        )
+        slot_ids = jnp.asarray(slot_ids_np)
+        meta.update(
+            {
+                "nlist": int(nlist),
+                "pad_ratio": pad_ratio,
+                "max_list_len": int(slot_ids_np.shape[1]),
+            }
+        )
+        data: Dict[str, Any] = {"centroids": centroids, "slot_ids": slot_ids}
+
+        if spec["coding"] == "flat":
+            list_vecs = _gather_slots(x, slot_ids_np)
+            data["list_vecs"] = list_vecs
+            data["list_sqnorms"] = jnp.sum(list_vecs * list_vecs, axis=-1)
+            kind = "ivf_flat"
+        elif spec["coding"] == "pq":
+            m = spec["m"]
+            meta["m"] = m
+            residuals = x - centroids[jnp.asarray(assignments)]
+            r_sample = training_sample(n, 256, self.seed + 1)
+            train_r = residuals if r_sample is None else residuals[r_sample]
+            codebooks = pqops.pq_train(
+                train_r, m, seed=self.seed, iters=self.train_iters
+            )
+            codes = pqops.pq_encode(residuals, codebooks)
+            sqn = pqops.pq_code_sqnorms(codes, codebooks)
+            data["codebooks"] = codebooks
+            data["list_codes"] = _gather_slots(codes, slot_ids_np)
+            data["list_sqnorms"] = _gather_slots(sqn, slot_ids_np)
+            kind = "ivf_pq"
+        else:  # sq8
+            vmin, step = sqops.sq_train(x)
+            codes = sqops.sq_encode(x, vmin, step)
+            x_hat = sqops.sq_decode(codes, vmin, step)
+            sqn = jnp.sum(x_hat * x_hat, axis=-1)
+            data["vmin"] = vmin
+            data["step"] = step
+            data["list_codes"] = _gather_slots(codes, slot_ids_np)
+            data["list_sqnorms"] = _gather_slots(sqn, slot_ids_np)
+            kind = "ivf_sq8"
+        return IndexArtifact(kind, jax.block_until_ready(data), meta)
+
+
+@register_indexer("IVFIndexer")
+@register_indexer("FaissIVFIndexer")
+class IVFIndexer(FactoryIndexer):
+    """Back-compat alias: ``index_type`` -> ``index_key``
+    (reference modular.py:292-309)."""
+
+    def __init__(self, metric: str = "l2", index_type: str = "IVF100,Flat",
+                 **params: Any):
+        params.pop("index_key", None)
+        super().__init__(metric=metric, index_key=index_type, **params)
+
+
+@register_searcher("ANNSearcher")
+@register_searcher("FaissSearcher")
+class ANNSearcher(BaseSearcher):
+    """Serves flat/quantized/IVF artifacts; runtime ``nprobe`` override."""
+
+    SUPPORTED = ("flat", "pq", "sq8", "ivf_flat", "ivf_pq", "ivf_sq8")
+
+    def attach(self, artifact: IndexArtifact) -> None:
+        if artifact.kind not in self.SUPPORTED:
+            raise ValueError(
+                f"ANNSearcher cannot serve artifact kind {artifact.kind!r}"
+            )
+        self.artifact = artifact
+
+    def _nprobe(self) -> int:
+        return int(
+            self.params.get("nprobe", self.artifact.metadata.get("nprobe", 10))
+        )
+
+    def _score_metric(self) -> str:
+        metric = self.artifact.metadata.get("metric", self.metric)
+        return "ip" if metric in ("ip", "cosine") else "l2"
+
+    def batch_search(
+        self, queries: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if self.artifact is None:
+            raise RuntimeError("searcher not attached")
+        art = self.artifact
+        meta = art.metadata
+        q_np = np.ascontiguousarray(queries, dtype=np.float32)
+        padded, b = pad_batch(q_np)
+        q = jnp.asarray(padded)
+        if meta.get("normalize_queries"):
+            q = dops.normalize(q)
+        metric = self._score_metric()
+        eff_k = min(k, meta["n_vectors"])
+        kind = art.kind
+        d = art.data
+        if kind == "flat":
+            dists, ids = dops.exact_search(
+                q, d["vectors"], eff_k, metric=metric,
+                db_sqnorms=d.get("sqnorms"),
+            )
+        elif kind == "pq":
+            dists, ids = pqops.pq_search(
+                q, d["codes"], d["codebooks"], d["code_sqnorms"], eff_k,
+                metric=metric,
+            )
+        elif kind == "sq8":
+            dists, ids = sqops.sq_search(
+                q, d["codes"], d["vmin"], d["step"], d["code_sqnorms"], eff_k,
+                metric=metric,
+            )
+        elif kind == "ivf_flat":
+            dists, ids = ivfops.ivf_flat_search(
+                q, d["centroids"], d["slot_ids"], d["list_vecs"],
+                d["list_sqnorms"], eff_k, self._nprobe(), metric=metric,
+            )
+        elif kind == "ivf_pq":
+            dists, ids = ivfops.ivf_pq_search(
+                q, d["centroids"], d["slot_ids"], d["list_codes"],
+                d["list_sqnorms"], d["codebooks"], eff_k, self._nprobe(),
+                metric=metric,
+            )
+        else:  # ivf_sq8
+            dists, ids = ivfops.ivf_sq_search(
+                q, d["centroids"], d["slot_ids"], d["list_codes"],
+                d["list_sqnorms"], d["vmin"], d["step"], eff_k, self._nprobe(),
+                metric=metric,
+            )
+        out_d = np.asarray(dists)[:b]
+        out_i = np.asarray(ids)[:b].astype(np.int64)
+        if eff_k < k:
+            out_d = np.pad(out_d, ((0, 0), (0, k - eff_k)), constant_values=np.inf)
+            out_i = np.pad(out_i, ((0, 0), (0, k - eff_k)), constant_values=-1)
+        return out_d, out_i
+
+    def estimated_ops_per_query(self, n_database: int) -> int:
+        if self.artifact is None:
+            return n_database
+        meta = self.artifact.metadata
+        if self.artifact.kind.startswith("ivf"):
+            return int(
+                meta.get("nlist", 0)
+                + self._nprobe() * meta.get("max_list_len", 0)
+            )
+        return int(n_database)

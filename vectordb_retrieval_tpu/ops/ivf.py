@@ -1,0 +1,196 @@
+"""IVF: coarse k-means partition + padded dense inverted lists + nprobe scan.
+
+TPU-native replacement for FAISS ``IVF{n},Flat|PQ{m}|SQ8`` (reference:
+src/algorithms/approximate_search.py:39-51, src/algorithms/modular.py:224-289).
+
+Design (SURVEY.md section 7 step 4 + hard-part (a)): FAISS's ragged inverted
+lists become **padded dense tensors** ``[nlist, max_len, ...]`` with ``-1``
+id padding, so every probe step is a static-shape gather + MXU score +
+running top-k merge inside a ``lax.scan`` over the ``nprobe`` probed lists.
+K-means lists are near-balanced, so padding overhead is bounded (reported by
+the builder as ``pad_ratio`` for honest memory accounting).
+
+Payload variants share the probe loop:
+  * flat : raw float32 vectors per slot
+  * pq   : PQ codes of the **residual** (x - centroid), FAISS IVFPQ-style
+  * sq8  : uint8 scalar-quantized vectors
+
+Metric: build normalises for cosine and scores with ``-dot`` (``ip``); for
+``l2`` the usual norm expansion. Coarse assignment always uses L2 (equivalent
+to max-dot on normalised data).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vectordb_retrieval_tpu.ops import distances as dops
+from vectordb_retrieval_tpu.ops import pq as pqops
+from vectordb_retrieval_tpu.ops import sq as sqops
+
+
+def build_padded_lists(
+    assignments: np.ndarray, nlist: int, pad_multiple: int = 8
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Host-side list layout: ``(slot_ids [nlist, max_len], counts, pad_ratio)``.
+
+    ``slot_ids[l, j]`` is the database row id of slot j of list l, or -1.
+    """
+    counts = np.bincount(assignments, minlength=nlist)
+    max_len = int(counts.max()) if counts.size else 1
+    max_len = max(pad_multiple, -(-max_len // pad_multiple) * pad_multiple)
+    order = np.argsort(assignments, kind="stable")
+    slot_ids = np.full((nlist, max_len), -1, dtype=np.int32)
+    offset = 0
+    for l in range(nlist):
+        c = int(counts[l])
+        slot_ids[l, :c] = order[offset : offset + c]
+        offset += c
+    n = max(int(assignments.shape[0]), 1)
+    pad_ratio = float(nlist * max_len) / float(n)
+    return slot_ids, counts.astype(np.int32), pad_ratio
+
+
+def _probe_scan(queries, centroids, probes, k, score_fn):
+    """Shared nprobe loop: scan over probe ranks, merging a running top-k.
+
+    ``score_fn(list_idx [B]) -> (dist [B, max_len], ids [B, max_len])``.
+    """
+    b = queries.shape[0]
+    nprobe = probes.shape[1]
+    init = (
+        jnp.full((b, k), jnp.inf, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+
+    def step(carry, p):
+        best_d, best_i = carry
+        lists = probes[:, p]  # [B]
+        dist, ids = score_fn(lists)
+        dist = jnp.where(ids >= 0, dist, jnp.inf)
+        cat_d = jnp.concatenate([best_d, dist], axis=1)
+        cat_i = jnp.concatenate([best_i, ids], axis=1)
+        new_d, sel = dops.top_k_smallest(cat_d, k)
+        return (new_d, jnp.take_along_axis(cat_i, sel, axis=1)), None
+
+    (best_d, best_i), _ = jax.lax.scan(
+        step, init, jnp.arange(nprobe, dtype=jnp.int32)
+    )
+    return best_d, best_i
+
+
+def _coarse_probes(queries, centroids, nprobe):
+    cd = dops.pairwise_distances(queries, centroids, "l2")
+    _, probes = dops.top_k_smallest(cd, min(nprobe, centroids.shape[0]))
+    return probes
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
+def ivf_flat_search(
+    queries: jax.Array,
+    centroids: jax.Array,
+    slot_ids: jax.Array,
+    list_vecs: jax.Array,
+    list_sqnorms: jax.Array,
+    k: int,
+    nprobe: int,
+    metric: str = "l2",
+) -> Tuple[jax.Array, jax.Array]:
+    probes = _coarse_probes(queries, centroids, nprobe)
+    qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
+
+    def score(lists):
+        vecs = list_vecs[lists]  # [B, L, d]
+        ids = slot_ids[lists]  # [B, L]
+        dots = jnp.einsum(
+            "bld,bd->bl", vecs, queries, preferred_element_type=jnp.float32
+        )
+        if metric == "l2":
+            dist = qn[:, None] + list_sqnorms[lists] - 2.0 * dots
+        else:
+            dist = -dots
+        return dist, ids
+
+    return _probe_scan(queries, centroids, probes, k, score)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
+def ivf_pq_search(
+    queries: jax.Array,
+    centroids: jax.Array,
+    slot_ids: jax.Array,
+    list_codes: jax.Array,
+    list_sqnorms: jax.Array,  # ||residual_hat||^2 per slot
+    codebooks: jax.Array,
+    k: int,
+    nprobe: int,
+    metric: str = "l2",
+) -> Tuple[jax.Array, jax.Array]:
+    """IVF-PQ with residual codes: score ||(q - c_l) - r_hat||^2 per slot.
+
+    For ``ip`` the score is ``-(q.c_l + q.r_hat)`` (exact IP on the
+    reconstruction c_l + r_hat).
+    """
+    probes = _coarse_probes(queries, centroids, nprobe)
+
+    def score(lists):
+        codes = list_codes[lists]  # [B, L, m]
+        ids = slot_ids[lists]
+        b, L, m = codes.shape
+        r_hat = pqops.pq_reconstruct(
+            codes.reshape(b * L, m), codebooks
+        ).reshape(b, L, -1)
+        c_l = centroids[lists]  # [B, d]
+        if metric == "l2":
+            qr = queries - c_l  # residual query [B, d]
+            qn = jnp.sum(qr * qr, axis=-1, dtype=jnp.float32)
+            dots = jnp.einsum(
+                "bld,bd->bl", r_hat, qr, preferred_element_type=jnp.float32
+            )
+            dist = qn[:, None] + list_sqnorms[lists] - 2.0 * dots
+        else:
+            qc = jnp.sum(queries * c_l, axis=-1, dtype=jnp.float32)
+            dots = jnp.einsum(
+                "bld,bd->bl", r_hat, queries, preferred_element_type=jnp.float32
+            )
+            dist = -(qc[:, None] + dots)
+        return dist, ids
+
+    return _probe_scan(queries, centroids, probes, k, score)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
+def ivf_sq_search(
+    queries: jax.Array,
+    centroids: jax.Array,
+    slot_ids: jax.Array,
+    list_codes: jax.Array,  # [nlist, L, d] uint8
+    list_sqnorms: jax.Array,
+    vmin: jax.Array,
+    step: jax.Array,
+    k: int,
+    nprobe: int,
+    metric: str = "l2",
+) -> Tuple[jax.Array, jax.Array]:
+    probes = _coarse_probes(queries, centroids, nprobe)
+    qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
+
+    def score(lists):
+        codes = list_codes[lists]  # [B, L, d]
+        ids = slot_ids[lists]
+        x_hat = vmin[None, None, :] + codes.astype(jnp.float32) * step[None, None, :]
+        dots = jnp.einsum(
+            "bld,bd->bl", x_hat, queries, preferred_element_type=jnp.float32
+        )
+        if metric == "l2":
+            dist = qn[:, None] + list_sqnorms[lists] - 2.0 * dots
+        else:
+            dist = -dots
+        return dist, ids
+
+    return _probe_scan(queries, centroids, probes, k, score)
