@@ -22,6 +22,11 @@ if REPO_ROOT not in sys.path:
 
 import jax  # noqa: E402
 
+# A sitecustomize on some hosts force-sets JAX_PLATFORMS (e.g. to a remote
+# TPU tunnel) before user code runs; the config update below wins as long as
+# it happens before the first backend initialisation.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 

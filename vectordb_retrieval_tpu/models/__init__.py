@@ -40,7 +40,10 @@ ALGORITHM_REGISTRY: Dict[str, Type[BaseAlgorithm]] = {
 def _register_optional() -> None:
     """Populate registries from submodules added over successive rounds."""
     try:
-        from vectordb_retrieval_tpu.models import lsh  # noqa: F401
+        from vectordb_retrieval_tpu.models import lsh
+
+        ALGORITHM_REGISTRY.setdefault("lsh", lsh.LSH)
+        ALGORITHM_REGISTRY.setdefault("LSH", lsh.LSH)
     except ImportError:
         pass
     try:

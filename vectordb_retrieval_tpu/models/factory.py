@@ -225,7 +225,9 @@ class IVFIndexer(FactoryIndexer):
 class ANNSearcher(BaseSearcher):
     """Serves flat/quantized/IVF artifacts; runtime ``nprobe`` override."""
 
-    SUPPORTED = ("flat", "pq", "sq8", "ivf_flat", "ivf_pq", "ivf_sq8")
+    SUPPORTED = (
+        "flat", "pq", "sq8", "ivf_flat", "ivf_pq", "ivf_sq8", "binary_lsh",
+    )
 
     def attach(self, artifact: IndexArtifact) -> None:
         if artifact.kind not in self.SUPPORTED:
@@ -284,6 +286,13 @@ class ANNSearcher(BaseSearcher):
                 q, d["centroids"], d["slot_ids"], d["list_codes"],
                 d["list_sqnorms"], d["codebooks"], eff_k, self._nprobe(),
                 metric=metric,
+            )
+        elif kind == "binary_lsh":
+            from vectordb_retrieval_tpu.models.lsh import binary_lsh_search
+
+            dists, ids = binary_lsh_search(
+                art, q, eff_k, metric,
+                float(self.params.get("lsh_candidate_multiplier", 32.0)),
             )
         else:  # ivf_sq8
             dists, ids = ivfops.ivf_sq_search(

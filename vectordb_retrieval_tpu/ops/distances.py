@@ -44,6 +44,13 @@ def _check_metric(metric: str) -> None:
         raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
 
 
+def clamp_chunk(chunk: int, n: int, align: int = 512) -> int:
+    """Never let a streaming chunk exceed the (aligned) dataset size —
+    otherwise small datasets pay for a full chunk of padding."""
+    aligned_n = -(-max(n, 1) // align) * align
+    return max(align, min(chunk, aligned_n))
+
+
 def normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
     """L2-normalise rows (cosine preprocessing; reference dataset.py:915-916)."""
     norms = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
@@ -186,5 +193,5 @@ def exact_search(
     if n <= _DENSE_PATH_MAX_ROWS:
         return _exact_search_dense(queries, database, db_sqnorms, k, metric)
     return _exact_search_streamed(
-        queries, database, db_sqnorms, k, metric, chunk_rows
+        queries, database, db_sqnorms, k, metric, clamp_chunk(chunk_rows, n)
     )

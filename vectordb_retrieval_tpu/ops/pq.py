@@ -101,8 +101,24 @@ def pq_code_sqnorms(codes: jax.Array, codebooks: jax.Array) -> jax.Array:
     return jnp.sum(per, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk", "metric"))
 def pq_search(
+    queries,
+    codes,
+    codebooks,
+    code_sqnorms,
+    k,
+    chunk=_SCAN_CHUNK,
+    metric="l2",
+):
+    """Chunk-clamped wrapper over the jitted ADC scan."""
+    chunk = dops.clamp_chunk(chunk, codes.shape[0])
+    return _pq_search_jit(
+        queries, codes, codebooks, code_sqnorms, k, chunk, metric
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "metric"))
+def _pq_search_jit(
     queries: jax.Array,
     codes: jax.Array,
     codebooks: jax.Array,

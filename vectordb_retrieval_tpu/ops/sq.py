@@ -42,8 +42,25 @@ def sq_decode(codes: jax.Array, vmin: jax.Array, step: jax.Array) -> jax.Array:
     return vmin[None, :] + codes.astype(jnp.float32) * step[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk", "metric"))
 def sq_search(
+    queries,
+    codes,
+    vmin,
+    step,
+    code_sqnorms,
+    k,
+    chunk=_SCAN_CHUNK,
+    metric="l2",
+):
+    """Chunk-clamped wrapper over the jitted SQ8 scan."""
+    chunk = dops.clamp_chunk(chunk, codes.shape[0])
+    return _sq_search_jit(
+        queries, codes, vmin, step, code_sqnorms, k, chunk, metric
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "metric"))
+def _sq_search_jit(
     queries: jax.Array,
     codes: jax.Array,
     vmin: jax.Array,
