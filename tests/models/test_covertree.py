@@ -1,0 +1,109 @@
+"""CoverTree: exactness oracle, counters, persistence round-trip.
+
+Mirrors reference tests/algorithms/test_covertree_v2_2.py with the tie-aware
+relaxation (distances compared, not raw index order — SURVEY.md s7(c)).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from vectordb_retrieval_tpu.models import get_algorithm_instance
+
+
+def _data(rng, n=500, d=16, nq=12):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    return x, q
+
+
+@pytest.mark.parametrize("k", [1, 5, 20])
+def test_covertree_equals_bruteforce(rng, k):
+    x, q = _data(rng)
+    algo = get_algorithm_instance("CoverTreeV2_2", 16, metric="l2")
+    algo.build_index(x)
+    d, i = algo.batch_search(q, k)
+    full = np.sqrt(((q[:, None, :] - x[None, :, :]) ** 2).sum(-1))
+    oracle_d = np.sort(full, axis=1)[:, :k]
+    # exactness: the retrieved distance values must match brute force
+    np.testing.assert_allclose(np.sort(d, 1), oracle_d, rtol=1e-3, atol=1e-3)
+    # and the retrieved ids must actually have those distances
+    np.testing.assert_allclose(
+        d, np.take_along_axis(full, i, 1), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_covertree_batch_shapes(rng):
+    x, q = _data(rng, n=200)
+    algo = get_algorithm_instance("covertree", 16)
+    algo.build_index(x)
+    d, i = algo.batch_search(q, 7)
+    assert d.shape == (12, 7) and i.shape == (12, 7)
+
+
+def test_covertree_ndis_counter(rng):
+    x, q = _data(rng, n=300)
+    algo = get_algorithm_instance("covertree", 16)
+    algo.build_index(x)
+    algo.batch_search(q, 5)
+    ops = algo.get_operations()
+    assert ops["ndis"] > 0
+    # pruning should beat brute force on average for small k
+    assert ops["ndis"] < 12 * 300 * 2
+
+
+def test_covertree_cosine_exact(rng):
+    x, q = _data(rng)
+    algo = get_algorithm_instance("covertree", 16, metric="cosine")
+    algo.build_index(x)
+    d, i = algo.batch_search(q, 10)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sim = qn @ xn.T
+    oracle = np.sort(-sim, axis=1)[:, :10]
+    np.testing.assert_allclose(np.sort(d, 1), oracle, rtol=1e-2, atol=1e-3)
+
+
+def test_covertree_persistence_roundtrip(tmp_path, rng):
+    x, q = _data(rng, n=200)
+    algo = get_algorithm_instance("covertree", 16)
+    algo.build_index(x)
+    d0, i0 = algo.batch_search(q, 5)
+    ctx = {"dataset_fingerprint": "fpX", "config_hash": "chX"}
+    algo.save_index(str(tmp_path / "ct"), ctx)
+
+    algo2 = get_algorithm_instance("covertree", 16)
+    algo2.load_index(str(tmp_path / "ct"), ctx)
+    d1, i1 = algo2.batch_search(q, 5)
+    np.testing.assert_allclose(d0, d1, rtol=1e-5)
+    assert np.array_equal(i0, i1)
+
+
+def test_covertree_persistence_validation(tmp_path, rng):
+    x, _ = _data(rng, n=100)
+    algo = get_algorithm_instance("covertree", 16)
+    algo.build_index(x)
+    path = str(tmp_path / "ct")
+    algo.save_index(path, {"dataset_fingerprint": "A"})
+
+    with pytest.raises(ValueError, match="fingerprint"):
+        get_algorithm_instance("covertree", 16).load_index(
+            path, {"dataset_fingerprint": "B"}
+        )
+    with pytest.raises(ValueError, match="metric"):
+        get_algorithm_instance("covertree", 16, metric="cosine").load_index(
+            path, {"dataset_fingerprint": "A"}
+        )
+    os.remove(os.path.join(path, "WRITE_COMPLETE"))
+    with pytest.raises(ValueError, match="incomplete"):
+        get_algorithm_instance("covertree", 16).load_index(path, {})
+
+
+def test_covertree_duplicate_points(rng):
+    x, _ = _data(rng, n=50)
+    x = np.concatenate([x, x[:10]], axis=0)  # exact duplicates
+    algo = get_algorithm_instance("covertree", 16)
+    algo.build_index(x)
+    d, i = algo.batch_search(x[:5], 1)
+    np.testing.assert_allclose(d[:, 0], 0.0, atol=1e-3)

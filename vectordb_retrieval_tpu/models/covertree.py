@@ -1,0 +1,244 @@
+"""CoverTree: exact k-NN cover tree with atomic persistence.
+
+Capability parity with the reference's flagship from-scratch algorithm
+``CoverTreeV2_2`` (reference: src/algorithms/covertree_v2_2.py:18-624):
+exact k-NN under the cover invariant with dynamic pruning, ``ndis``
+operation counting, and the full persistence protocol (CSR-style arrays +
+manifest + WRITE_COMPLETE sentinel + fingerprint validation — via the
+generic artifact store, models/persist.py).
+
+TPU-first re-design:
+  * the tree is stored as flat device arrays — one node per database point
+    (``level [N]``, cover ``radii [N] = 2^(level+1)``, padded ``children
+    [N, C]``) — no Python node objects (reference builds an object graph,
+    covertree_v2_2.py:228-268);
+  * search runs entirely on device as a batched best-first descent
+    (ops/covertree.py) instead of a per-query heap loop; exactness is
+    preserved via the same cover-radius bound, and queries whose frontier
+    overflows fall back to the exact MXU scan, so results are always exact;
+  * build is a host-side vectorized insertion loop (NumPy batch distances
+    per descent level) — the reference's dominant cost (350 s for 20k rows,
+    methodology docs) drops to seconds.
+
+Cosine metric: vectors are L2-normalised and the tree built in Euclidean
+space (monotone with angular distance), search returns ``-cos`` distances
+(= d^2/2 - 1), matching the FAISS-style convention used elsewhere.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vectordb_retrieval_tpu.models import persist
+from vectordb_retrieval_tpu.models.base import BaseAlgorithm, IndexArtifact, pad_batch
+from vectordb_retrieval_tpu.ops import covertree as ctops
+from vectordb_retrieval_tpu.ops import distances as dops
+
+_MIN_LEVEL = -40  # 2^-40 ~ duplicate points
+
+
+def build_cover_tree(
+    x: np.ndarray, seed: int = 0, frontier_cap: int = 256
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Host-side insertion build.
+
+    Returns ``(levels [N] int32, children_pad [N, C] int32, root)``.
+
+    Invariant maintained (sufficient for exact pruning): every child c of
+    parent q satisfies ``d(q, c) <= 2^level(q)`` and ``level(c) < level(q)``,
+    hence every descendant of q lies within ``2^(level(q)+1)``.
+    """
+    n = x.shape[0]
+    if n == 0:
+        raise ValueError("empty dataset")
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n)
+    root = int(order[0])
+    levels = np.zeros(n, dtype=np.int32)
+    children: list = [[] for _ in range(n)]
+    levels[root] = 10  # provisional; raised on demand
+
+    xs = x.astype(np.float32)
+    for p in order[1:]:
+        d_root = float(np.sqrt(np.dot(xs[root] - xs[p], xs[root] - xs[p])))
+        if d_root > 2.0 ** levels[root]:
+            levels[root] = max(levels[root], int(math.ceil(math.log2(max(d_root, 1e-12)))))
+        # descend through valid covers, remembering the deepest one
+        best_q, best_lvl, best_d = root, int(levels[root]), d_root
+        frontier = [root]
+        while frontier:
+            kids = np.concatenate([children[f] for f in frontier]) if any(
+                children[f] for f in frontier
+            ) else np.empty(0, dtype=np.int64)
+            if kids.size == 0:
+                break
+            kids = kids.astype(np.int64)
+            diff = xs[kids] - xs[p]
+            d = np.sqrt(np.einsum("ij,ij->i", diff, diff))
+            cover = d <= np.exp2(levels[kids])
+            covered = kids[cover]
+            if covered.size == 0:
+                break
+            dcov = d[cover]
+            # deepest (smallest level) cover; ties -> closest
+            lv = levels[covered]
+            idx = np.lexsort((dcov, lv))[0]
+            if lv[idx] < best_lvl or (lv[idx] == best_lvl and dcov[idx] < best_d):
+                best_q, best_lvl, best_d = int(covered[idx]), int(lv[idx]), float(dcov[idx])
+            if covered.size > frontier_cap:
+                keep = np.argsort(dcov)[:frontier_cap]
+                covered = covered[keep]
+            frontier = covered.tolist()
+        child_level = int(
+            min(
+                best_lvl - 1,
+                math.floor(math.log2(best_d)) if best_d > 0 else _MIN_LEVEL,
+            )
+        )
+        levels[p] = max(child_level, _MIN_LEVEL)
+        children[best_q].append(int(p))
+
+    max_c = max((len(c) for c in children), default=1)
+    max_c = max(max_c, 1)
+    children_pad = np.full((n, max_c), -1, dtype=np.int32)
+    for i, c in enumerate(children):
+        if c:
+            children_pad[i, : len(c)] = c
+    return levels, children_pad, root
+
+
+class CoverTree(BaseAlgorithm):
+    """Exact k-NN cover tree (reference ``CoverTreeV2_2`` equivalent)."""
+
+    def __init__(
+        self,
+        dimension: int,
+        metric: str = "l2",
+        seed: int = 0,
+        f_max: int = 2048,
+        expand: int = 16,
+        **params: Any,
+    ):
+        super().__init__(dimension=dimension, metric=metric, **params)
+        self.name = "CoverTree"
+        self.seed = int(seed)
+        self.f_max = int(f_max)
+        self.expand = int(expand)
+        self.artifact: Optional[IndexArtifact] = None
+
+    # -- build ----------------------------------------------------------
+    def build_index(self, vectors: np.ndarray) -> None:
+        x = np.ascontiguousarray(vectors, dtype=np.float32)
+        if self.metric == "cosine":
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.maximum(norms, 1e-12)
+        levels, children, root = build_cover_tree(x, seed=self.seed)
+        radii = np.exp2((levels + 1).astype(np.float64)).astype(np.float32)
+        has_children = (children[:, 0] >= 0)
+        self.artifact = IndexArtifact(
+            "covertree",
+            jax.block_until_ready(
+                {
+                    "vectors": jnp.asarray(x),
+                    "levels": jnp.asarray(levels),
+                    "radii": jnp.asarray(radii),
+                    "children": jnp.asarray(children),
+                    "has_children": jnp.asarray(has_children),
+                    "root": jnp.asarray(np.int32(root)),
+                }
+            ),
+            {
+                "metric": self.metric,
+                "dimension": int(x.shape[1]),
+                "n_vectors": int(x.shape[0]),
+                "root": int(root),
+                "max_children": int(children.shape[1]),
+                "algorithm": "CoverTree",
+                "schema": "covertree_v1",
+            },
+        )
+        self.is_built = True
+
+    # -- search ---------------------------------------------------------
+    def batch_search(
+        self, queries: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if not self.is_built or self.artifact is None:
+            raise RuntimeError("index not built")
+        meta = self.artifact.metadata
+        data = self.artifact.data
+        q_np = np.ascontiguousarray(queries, dtype=np.float32)
+        if self.metric == "cosine":
+            q_np = q_np / np.maximum(
+                np.linalg.norm(q_np, axis=1, keepdims=True), 1e-12
+            )
+        padded, b = pad_batch(q_np)
+        q = jnp.asarray(padded)
+        n = meta["n_vectors"]
+        eff_k = min(k, n)
+        res = ctops.covertree_search(
+            q,
+            data["vectors"],
+            data["radii"],
+            data["children"],
+            data["has_children"],
+            meta["root"],
+            eff_k,
+            f_max=min(self.f_max, max(n, 8)),
+            expand=self.expand,
+            metric="l2",
+        )
+        out_d = np.asarray(res.dists)[:b].copy()
+        out_i = np.asarray(res.ids)[:b].astype(np.int64)
+        self.record_operation("ndis", int(np.asarray(res.ndis)[:b].sum()))
+
+        overflow = np.asarray(res.overflow)[:b]
+        if overflow.any():  # exactness guarantee: re-run overflowed rows
+            fb_np, n_short = pad_batch(q_np[overflow])
+            fd, fi = dops.exact_search(
+                jnp.asarray(fb_np), data["vectors"], eff_k, metric="l2"
+            )
+            out_d[overflow] = np.sqrt(np.maximum(np.asarray(fd)[:n_short], 0.0))
+            out_i = out_i.copy()
+            out_i[overflow] = np.asarray(fi)[:n_short]
+            self.record_operation("ndis", int(n_short) * n)
+
+        if self.metric == "cosine":
+            out_d = (out_d ** 2) / 2.0 - 1.0  # -> -cos convention
+        if eff_k < k:
+            out_d = np.pad(out_d, ((0, 0), (0, k - eff_k)), constant_values=np.inf)
+            out_i = np.pad(out_i, ((0, 0), (0, k - eff_k)), constant_values=-1)
+        return out_d, out_i
+
+    # -- persistence (reference covertree_v2_2.py:101-282) --------------
+    def save_index(self, path: str, context: Optional[Dict[str, Any]] = None) -> None:
+        if self.artifact is None:
+            raise RuntimeError("nothing to save")
+        persist.save_artifact(self.artifact, path, context or {})
+
+    def load_index(self, path: str, context: Optional[Dict[str, Any]] = None) -> None:
+        ctx = dict(context or {})
+        ctx["kind"] = "covertree"
+        art = persist.load_artifact(path, ctx)
+        if art.metadata.get("metric") != self.metric:
+            raise ValueError(
+                f"metric mismatch: saved {art.metadata.get('metric')!r} != "
+                f"configured {self.metric!r}"
+            )
+        if art.metadata.get("dimension") != self.dimension:
+            raise ValueError(
+                f"dimension mismatch: saved {art.metadata.get('dimension')} "
+                f"!= configured {self.dimension}"
+            )
+        self.artifact = art
+        self.is_built = True
+
+    def get_parameters(self) -> Dict[str, Any]:
+        p = super().get_parameters()
+        p.update({"f_max": self.f_max, "expand": self.expand})
+        return p

@@ -227,6 +227,7 @@ class ANNSearcher(BaseSearcher):
 
     SUPPORTED = (
         "flat", "pq", "sq8", "ivf_flat", "ivf_pq", "ivf_sq8", "binary_lsh",
+        "graph",
     )
 
     def attach(self, artifact: IndexArtifact) -> None:
@@ -287,6 +288,13 @@ class ANNSearcher(BaseSearcher):
                 d["list_sqnorms"], d["codebooks"], eff_k, self._nprobe(),
                 metric=metric,
             )
+        elif kind == "graph":
+            from vectordb_retrieval_tpu.models.graph import graph_artifact_search
+
+            ef = int(
+                self.params.get("efSearch", meta.get("efSearch", 100))
+            )
+            dists, ids = graph_artifact_search(art, q, eff_k, metric, ef)
         elif kind == "binary_lsh":
             from vectordb_retrieval_tpu.models.lsh import binary_lsh_search
 
@@ -316,4 +324,8 @@ class ANNSearcher(BaseSearcher):
                 meta.get("nlist", 0)
                 + self._nprobe() * meta.get("max_list_len", 0)
             )
+        if self.artifact.kind == "graph":
+            ef = int(self.params.get("efSearch", meta.get("efSearch", 100)))
+            iters = max(8, -(-ef // 4))
+            return int(iters * 4 * meta.get("degree", 0))
         return int(n_database)

@@ -1,0 +1,134 @@
+"""Graph (HNSW-class) index family wrappers.
+
+Config parity with the reference's HNSW surfaces:
+  * ``HNSWIndexer`` (reference modular.py:136-179): knobs ``M`` /
+    ``efConstruction`` / ``efSearch`` map onto graph degree ``R = 2M``
+    (HNSW level-0 convention), build quality (exact graph — efConstruction
+    is accepted and recorded but the TPU build is already exact), and beam
+    width;
+  * ``HNSW`` algorithm (reference hnsw.py:6-141) with the cosine
+    normalise-then-IP handling (hnsw.py:56-67).
+
+The artifact kind is ``graph``; ``ANNSearcher``/``FaissSearcher`` serve it
+with runtime ``efSearch`` override, matching how the reference pairs
+``hnsw_l2`` indexers with ``faiss_l2`` searchers
+(configs/benchmark_config.yaml:126-129).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vectordb_retrieval_tpu.models.base import (
+    BaseIndexer,
+    IndexArtifact,
+    register_indexer,
+)
+from vectordb_retrieval_tpu.models.composite import CompositeAlgorithm
+from vectordb_retrieval_tpu.ops import distances as dops
+from vectordb_retrieval_tpu.ops import graph as gops
+
+
+@register_indexer("GraphIndexer")
+@register_indexer("HNSWIndexer")
+class GraphIndexer(BaseIndexer):
+    def __init__(
+        self,
+        metric: str = "l2",
+        M: int = 16,
+        efConstruction: int = 200,
+        efSearch: int = 100,
+        n_entry: int = 8,
+        seed: int = 42,
+        **params: Any,
+    ):
+        super().__init__(metric=metric, **params)
+        self.M = int(M)
+        self.efConstruction = int(efConstruction)
+        self.efSearch = int(efSearch)
+        self.n_entry = int(n_entry)
+        self.seed = int(seed)
+
+    def build(self, vectors: np.ndarray, dimension: int) -> IndexArtifact:
+        x = jnp.asarray(np.ascontiguousarray(vectors, dtype=np.float32))
+        if self.metric == "cosine":
+            x = dops.normalize(x)
+        degree = min(2 * self.M, max(x.shape[0] - 1, 1))
+        adjacency = gops.build_knn_graph(x, degree)
+        entries = gops.pick_entry_points(
+            x, min(self.n_entry, x.shape[0]), seed=self.seed
+        )
+        return IndexArtifact(
+            "graph",
+            jax.block_until_ready(
+                {"vectors": x, "adjacency": adjacency, "entry_ids": entries}
+            ),
+            {
+                "metric": self.metric,
+                "dimension": int(dimension),
+                "n_vectors": int(x.shape[0]),
+                "normalize_queries": self.metric == "cosine",
+                "M": self.M,
+                "degree": int(degree),
+                "efConstruction": self.efConstruction,
+                "efSearch": self.efSearch,
+            },
+        )
+
+
+def graph_artifact_search(
+    artifact: IndexArtifact,
+    q: jax.Array,
+    k: int,
+    metric: str,
+    ef_search: int,
+) -> Tuple[jax.Array, jax.Array]:
+    meta = artifact.metadata
+    n = meta["n_vectors"]
+    ef = max(int(ef_search), k)
+    ef = min(ef, n)
+    expand = 4
+    # enough iterations to expand the whole beam once
+    iters = max(8, -(-ef // expand))
+    return gops.graph_search(
+        q,
+        artifact.data["vectors"],
+        artifact.data["adjacency"],
+        artifact.data["entry_ids"],
+        k,
+        ef=ef,
+        expand=expand,
+        iters=iters,
+        metric=metric,
+    )
+
+
+class HNSW(CompositeAlgorithm):
+    """Standalone HNSW-class algorithm (reference hnsw.py:6-141)."""
+
+    def __init__(
+        self,
+        dimension: int,
+        metric: str = "l2",
+        M: int = 16,
+        efConstruction: int = 200,
+        efSearch: int = 100,
+        **params: Any,
+    ):
+        super().__init__(
+            dimension=dimension,
+            metric=metric,
+            indexer={
+                "type": "GraphIndexer",
+                "M": M,
+                "efConstruction": efConstruction,
+                "efSearch": efSearch,
+            },
+            searcher={"type": "ANNSearcher", "efSearch": efSearch},
+            name="HNSW",
+            **params,
+        )
