@@ -1,0 +1,7 @@
+"""Device-mesh scale-out: DB-row sharding + collective top-k merge."""
+
+from vectordb_retrieval_tpu.parallel.mesh import make_mesh  # noqa: F401
+from vectordb_retrieval_tpu.parallel.sharded import (  # noqa: F401
+    shard_database,
+    sharded_exact_search,
+)
