@@ -22,9 +22,12 @@ from vectordb_retrieval_tpu.models.base import (  # noqa: F401
 # Importing these modules populates the indexer/searcher registries.
 from vectordb_retrieval_tpu.models import flat  # noqa: F401,E402
 from vectordb_retrieval_tpu.models import factory  # noqa: F401,E402
+from vectordb_retrieval_tpu.models import lsh as _lsh  # noqa: E402
+from vectordb_retrieval_tpu.models import graph as _graph  # noqa: E402
 from vectordb_retrieval_tpu.models.composite import CompositeAlgorithm  # noqa: E402
 from vectordb_retrieval_tpu.models.exact import ExactSearch  # noqa: E402
 from vectordb_retrieval_tpu.models.approximate import ApproximateSearch  # noqa: E402
+from vectordb_retrieval_tpu.models.covertree import CoverTree  # noqa: E402
 
 ALGORITHM_REGISTRY: Dict[str, Type[BaseAlgorithm]] = {
     "exact": ExactSearch,
@@ -34,43 +37,20 @@ ALGORITHM_REGISTRY: Dict[str, Type[BaseAlgorithm]] = {
     "composite": CompositeAlgorithm,
     "CompositeAlgorithm": CompositeAlgorithm,
     "modular": CompositeAlgorithm,
+    "lsh": _lsh.LSH,
+    "LSH": _lsh.LSH,
+    "hnsw": _graph.HNSW,
+    "HNSW": _graph.HNSW,
+    "covertree": CoverTree,
+    "CoverTree": CoverTree,
+    "CoverTreeV2_2": CoverTree,
 }
-
-
-def _register_optional() -> None:
-    """Populate registries from submodules added over successive rounds."""
-    try:
-        from vectordb_retrieval_tpu.models import lsh
-
-        ALGORITHM_REGISTRY.setdefault("lsh", lsh.LSH)
-        ALGORITHM_REGISTRY.setdefault("LSH", lsh.LSH)
-    except ImportError:
-        pass
-    try:
-        from vectordb_retrieval_tpu.models import graph  # noqa: F401
-
-        ALGORITHM_REGISTRY.setdefault("hnsw", graph.HNSW)
-        ALGORITHM_REGISTRY.setdefault("HNSW", graph.HNSW)
-    except ImportError:
-        pass
-    try:
-        from vectordb_retrieval_tpu.models.covertree import CoverTree
-
-        ALGORITHM_REGISTRY.setdefault("covertree", CoverTree)
-        ALGORITHM_REGISTRY.setdefault("CoverTree", CoverTree)
-        ALGORITHM_REGISTRY.setdefault("CoverTreeV2_2", CoverTree)
-    except ImportError:
-        pass
 
 
 def get_algorithm_instance(
     algorithm_type: str, dimension: int, **params: Any
 ) -> BaseAlgorithm:
     """Factory: name -> configured instance (reference __init__.py:37-47)."""
-    try:
-        _register_optional()
-    except ImportError:
-        pass
     if algorithm_type not in ALGORITHM_REGISTRY:
         raise ValueError(
             f"unknown algorithm type {algorithm_type!r}; "
