@@ -1,0 +1,42 @@
+"""Platform compatibility self-healing.
+
+The reference's analogue fixed ARM/MKL BLAS issues on its CPU cluster
+(reference src/utils/compat.py:15-67, invoked from its main entry point).
+The TPU build's equivalent concerns are JAX platform selection: some hosts
+pin ``JAX_PLATFORMS`` to a remote-TPU plugin via sitecustomize, and test /
+CI environments need the virtual-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+
+def ensure_platform(platform: Optional[str] = None, virtual_devices: int = 0) -> None:
+    """Pin the JAX platform before first backend init.
+
+    ``platform=None`` leaves the environment's choice (e.g. a TPU plugin).
+    Must be called before any computation initialises the backend; the
+    ``jax.config`` update wins over env-var overrides injected by
+    sitecustomize hooks.
+    """
+    if virtual_devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                f"{flags} --xla_force_host_platform_device_count={virtual_devices}"
+            ).strip()
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
+def tpu_available() -> bool:
+    import jax
+
+    try:
+        return any(d.platform == "tpu" for d in jax.devices())
+    except RuntimeError:
+        return False
