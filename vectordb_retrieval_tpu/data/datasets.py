@@ -26,7 +26,9 @@ import numpy as np
 from vectordb_retrieval_tpu.utils.hashing import stable_hash
 
 CACHE_KEY_VERSION = 1
-GROUND_TRUTH_METHOD = "tpu_exact_v1"
+# v2: L2 ground truth is overfetched + rescored with the cancellation-free
+# diff form (ops/distances.rescore_l2) so ties resolve consistently.
+GROUND_TRUTH_METHOD = "tpu_exact_v2"
 
 
 def compute_ground_truth(
@@ -48,7 +50,9 @@ def compute_ground_truth(
         q = dops.normalize(q)
         metric = "ip"
     k = min(k, x.shape[0])
-    _, ids = dops.exact_search(q, x, k, metric=metric)
+    # refine: cancellation-free rescoring so GT ranking is exact to f32
+    # rounding (consistent tie behaviour framework-wide)
+    _, ids = dops.exact_search(q, x, k, metric=metric, refine=True)
     return np.asarray(ids, dtype=np.int64)
 
 

@@ -73,6 +73,25 @@ class CompositeAlgorithm(BaseAlgorithm):
         )
         return self.searcher.batch_search(queries, k)
 
+    @property
+    def supports_pipelined_search(self) -> bool:
+        return hasattr(self.searcher, "device_batch_search")
+
+    def device_batch_search(self, queries: np.ndarray, k: int):
+        """Non-blocking dispatch: ``(dists_dev, ids_dev, n_rows)``.
+
+        Used by the experiment timing loop to pipeline query batches through
+        the device without a host round-trip per batch.
+        """
+        if not self.is_built:
+            raise RuntimeError("index not built")
+        n = self.artifact.metadata.get("n_vectors", 0)
+        self.record_operation(
+            "ndis",
+            self.searcher.estimated_ops_per_query(n) * int(queries.shape[0]),
+        )
+        return self.searcher.device_batch_search(queries, k)
+
     def get_parameters(self) -> Dict[str, Any]:
         p = super().get_parameters()
         p["indexer"] = self.indexer.describe()

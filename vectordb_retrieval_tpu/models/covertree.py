@@ -47,7 +47,7 @@ def build_cover_tree(
 ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Host-side insertion build.
 
-    Returns ``(levels [N] int32, children_pad [N, C] int32, root)``.
+    Returns ``(levels [N] int32, children: list of child-id lists, root)``.
 
     Invariant maintained (sufficient for exact pruning): every child c of
     parent q satisfies ``d(q, c) <= 2^level(q)`` and ``level(c) < level(q)``,
@@ -103,13 +103,69 @@ def build_cover_tree(
         levels[p] = max(child_level, _MIN_LEVEL)
         children[best_q].append(int(p))
 
-    max_c = max((len(c) for c in children), default=1)
-    max_c = max(max_c, 1)
-    children_pad = np.full((n, max_c), -1, dtype=np.int32)
-    for i, c in enumerate(children):
-        if c:
-            children_pad[i, : len(c)] = c
-    return levels, children_pad, root
+    return levels, children, root
+
+
+def cap_fanout(
+    xs: np.ndarray,
+    levels: np.ndarray,
+    children: list,
+    cap: int = 64,
+):
+    """Bound node fanout by grouping oversized child lists under *virtual*
+    nodes with computed cover radii.
+
+    On concentrated data (e.g. high-d gaussians) cover trees legitimately
+    degenerate toward huge fanouts; unbounded fanout would make the device
+    search's padded ``[B, E, C, d]`` children gather explode (observed OOM
+    at C~14.5k on 16 GB HBM). A virtual node reuses a member point as its
+    center, covers its group within ``radius = max(d(center, c) +
+    radius(c))``, and is excluded from top-k scoring (``is_real=False``) so
+    results never contain duplicates. Exactness is preserved: pruning a
+    virtual node only ever discards points provably outside the k-th bound.
+
+    Returns (point_ids [M], radii [M] f32, is_real [M] bool, kids list[M]).
+    """
+    n = xs.shape[0]
+    point_ids = list(range(n))
+    radii = [float(np.exp2(float(lv) + 1.0)) for lv in levels]
+    is_real = [True] * n
+    kids = [list(c) for c in children]
+
+    for node in range(n):
+        while len(kids[node]) > cap:
+            cur = kids[node]
+            # locality: order children by distance to the parent point
+            pts = np.asarray([point_ids[c] for c in cur])
+            diff = xs[pts] - xs[point_ids[node]]
+            order = np.argsort(np.einsum("ij,ij->i", diff, diff))
+            cur = [cur[int(j)] for j in order]
+            grouped = []
+            for start in range(0, len(cur), cap):
+                group = cur[start : start + cap]
+                if len(group) == 1:
+                    grouped.append(group[0])
+                    continue
+                center_pt = point_ids[group[0]]
+                gpts = np.asarray([point_ids[c] for c in group])
+                gdiff = xs[gpts] - xs[center_pt]
+                gd = np.sqrt(np.einsum("ij,ij->i", gdiff, gdiff))
+                grad = float(
+                    max(gd[j] + radii[group[j]] for j in range(len(group)))
+                )
+                vid = len(point_ids)
+                point_ids.append(center_pt)
+                radii.append(grad)
+                is_real.append(False)
+                kids.append(group)
+                grouped.append(vid)
+            kids[node] = grouped
+    return (
+        np.asarray(point_ids, dtype=np.int32),
+        np.asarray(radii, dtype=np.float32),
+        np.asarray(is_real, dtype=bool),
+        kids,
+    )
 
 
 class CoverTree(BaseAlgorithm):
@@ -120,8 +176,9 @@ class CoverTree(BaseAlgorithm):
         dimension: int,
         metric: str = "l2",
         seed: int = 0,
-        f_max: int = 2048,
-        expand: int = 16,
+        f_max: int = 4096,
+        expand: int = 32,
+        max_fanout: int = 64,
         **params: Any,
     ):
         super().__init__(dimension=dimension, metric=metric, **params)
@@ -129,6 +186,7 @@ class CoverTree(BaseAlgorithm):
         self.seed = int(seed)
         self.f_max = int(f_max)
         self.expand = int(expand)
+        self.max_fanout = int(max_fanout)
         self.artifact: Optional[IndexArtifact] = None
 
     # -- build ----------------------------------------------------------
@@ -137,29 +195,38 @@ class CoverTree(BaseAlgorithm):
         if self.metric == "cosine":
             norms = np.linalg.norm(x, axis=1, keepdims=True)
             x = x / np.maximum(norms, 1e-12)
-        levels, children, root = build_cover_tree(x, seed=self.seed)
-        radii = np.exp2((levels + 1).astype(np.float64)).astype(np.float32)
-        has_children = (children[:, 0] >= 0)
+        levels, child_lists, root = build_cover_tree(x, seed=self.seed)
+        point_ids, radii, is_real, kids = cap_fanout(
+            x, levels, child_lists, cap=self.max_fanout
+        )
+        m = len(point_ids)
+        max_c = max(max((len(c) for c in kids), default=1), 1)
+        children = np.full((m, max_c), -1, dtype=np.int32)
+        for i, c in enumerate(kids):
+            if c:
+                children[i, : len(c)] = c
+        has_children = children[:, 0] >= 0
         self.artifact = IndexArtifact(
             "covertree",
             jax.block_until_ready(
                 {
                     "vectors": jnp.asarray(x),
-                    "levels": jnp.asarray(levels),
+                    "point_ids": jnp.asarray(point_ids),
+                    "is_real": jnp.asarray(is_real),
                     "radii": jnp.asarray(radii),
                     "children": jnp.asarray(children),
                     "has_children": jnp.asarray(has_children),
-                    "root": jnp.asarray(np.int32(root)),
                 }
             ),
             {
                 "metric": self.metric,
                 "dimension": int(x.shape[1]),
                 "n_vectors": int(x.shape[0]),
+                "n_nodes": int(m),
                 "root": int(root),
-                "max_children": int(children.shape[1]),
+                "max_children": int(max_c),
                 "algorithm": "CoverTree",
-                "schema": "covertree_v1",
+                "schema": "covertree_v2",
             },
         )
         self.is_built = True
@@ -184,14 +251,15 @@ class CoverTree(BaseAlgorithm):
         res = ctops.covertree_search(
             q,
             data["vectors"],
+            data["point_ids"],
+            data["is_real"],
             data["radii"],
             data["children"],
             data["has_children"],
             meta["root"],
             eff_k,
-            f_max=min(self.f_max, max(n, 8)),
+            f_max=min(self.f_max, max(meta.get("n_nodes", n), 8)),
             expand=self.expand,
-            metric="l2",
         )
         out_d = np.asarray(res.dists)[:b].copy()
         out_i = np.asarray(res.ids)[:b].astype(np.int64)
@@ -201,7 +269,8 @@ class CoverTree(BaseAlgorithm):
         if overflow.any():  # exactness guarantee: re-run overflowed rows
             fb_np, n_short = pad_batch(q_np[overflow])
             fd, fi = dops.exact_search(
-                jnp.asarray(fb_np), data["vectors"], eff_k, metric="l2"
+                jnp.asarray(fb_np), data["vectors"], eff_k, metric="l2",
+                refine=True,
             )
             out_d[overflow] = np.sqrt(np.maximum(np.asarray(fd)[:n_short], 0.0))
             out_i = out_i.copy()

@@ -246,9 +246,8 @@ class ANNSearcher(BaseSearcher):
         metric = self.artifact.metadata.get("metric", self.metric)
         return "ip" if metric in ("ip", "cosine") else "l2"
 
-    def batch_search(
-        self, queries: np.ndarray, k: int
-    ) -> Tuple[np.ndarray, np.ndarray]:
+    def device_batch_search(self, queries: np.ndarray, k: int):
+        """Dispatch without blocking: returns (dists_dev, ids_dev, n_rows)."""
         if self.artifact is None:
             raise RuntimeError("searcher not attached")
         art = self.artifact
@@ -308,11 +307,18 @@ class ANNSearcher(BaseSearcher):
                 d["list_sqnorms"], d["vmin"], d["step"], eff_k, self._nprobe(),
                 metric=metric,
             )
+        return dists, ids, b
+
+    def batch_search(
+        self, queries: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        dists, ids, b = self.device_batch_search(queries, k)
         out_d = np.asarray(dists)[:b]
         out_i = np.asarray(ids)[:b].astype(np.int64)
-        if eff_k < k:
-            out_d = np.pad(out_d, ((0, 0), (0, k - eff_k)), constant_values=np.inf)
-            out_i = np.pad(out_i, ((0, 0), (0, k - eff_k)), constant_values=-1)
+        if out_d.shape[1] < k:
+            pad = k - out_d.shape[1]
+            out_d = np.pad(out_d, ((0, 0), (0, pad)), constant_values=np.inf)
+            out_i = np.pad(out_i, ((0, 0), (0, pad)), constant_values=-1)
         return out_d, out_i
 
     def estimated_ops_per_query(self, n_database: int) -> int:
@@ -326,6 +332,6 @@ class ANNSearcher(BaseSearcher):
             )
         if self.artifact.kind == "graph":
             ef = int(self.params.get("efSearch", meta.get("efSearch", 100)))
-            iters = max(8, -(-ef // 4))
-            return int(iters * 4 * meta.get("degree", 0))
+            iters = max(12, -(-ef // 8) + 4)
+            return int(iters * 8 * meta.get("degree", 0))
         return int(n_database)

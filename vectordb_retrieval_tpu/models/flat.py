@@ -65,9 +65,12 @@ class LinearSearcher(BaseSearcher):
             )
         self.artifact = artifact
 
-    def batch_search(
-        self, queries: np.ndarray, k: int
-    ) -> Tuple[np.ndarray, np.ndarray]:
+    def device_batch_search(self, queries: np.ndarray, k: int):
+        """Dispatch without blocking: returns (dists_dev, ids_dev, n_rows).
+
+        Lets the experiment loop pipeline batches (async dispatch) and block
+        once — essential when per-call device latency is high.
+        """
         if self.artifact is None:
             raise RuntimeError("searcher not attached to an artifact")
         meta = self.artifact.metadata
@@ -77,17 +80,29 @@ class LinearSearcher(BaseSearcher):
         qd = jnp.asarray(padded)
         if meta.get("normalize_queries"):
             qd = dops.normalize(qd)
-        eff_k = min(k, meta["n_vectors"])
+        n = meta["n_vectors"]
+        eff_k = min(k, n)
+        score_metric = metric if metric != "cosine" else "ip"
+        # refine=True: fused overfetch + accurate rescoring so near-ties at
+        # the k boundary resolve exactly (dops.rescore_l2 docstring)
         dists, ids = dops.exact_search(
             qd,
             self.artifact.data["vectors"],
             eff_k,
-            metric=metric if metric != "cosine" else "ip",
+            metric=score_metric,
             db_sqnorms=self.artifact.data.get("sqnorms"),
+            refine=True,
         )
+        return dists, ids, b
+
+    def batch_search(
+        self, queries: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        dists, ids, b = self.device_batch_search(queries, k)
         d = np.asarray(dists)[:b]
         i = np.asarray(ids)[:b]
-        if eff_k < k:  # pad to requested k (reference pads with inf/-1)
-            d = np.pad(d, ((0, 0), (0, k - eff_k)), constant_values=np.inf)
-            i = np.pad(i, ((0, 0), (0, k - eff_k)), constant_values=-1)
+        if d.shape[1] < k:  # pad to requested k (reference pads with inf/-1)
+            pad = k - d.shape[1]
+            d = np.pad(d, ((0, 0), (0, pad)), constant_values=np.inf)
+            i = np.pad(i, ((0, 0), (0, pad)), constant_values=-1)
         return d, i

@@ -91,9 +91,10 @@ def graph_artifact_search(
     n = meta["n_vectors"]
     ef = max(int(ef_search), k)
     ef = min(ef, n)
-    expand = 4
-    # enough iterations to expand the whole beam once
-    iters = max(8, -(-ef // expand))
+    expand = 8
+    # enough iterations to expand the whole beam once, plus slack to escape
+    # entry-point neighbourhoods
+    iters = max(12, -(-ef // expand) + 4)
     return gops.graph_search(
         q,
         artifact.data["vectors"],

@@ -149,7 +149,8 @@ class LSHSearcher(BaseSearcher):
                 # pad fallback rows to a bucket to bound recompiles
                 fb_np, n_short = pad_batch(np.asarray(q[:b])[short])
                 fd, fi = dops.exact_search(
-                    jnp.asarray(fb_np), art.data["vectors"], eff_k, metric=metric
+                    jnp.asarray(fb_np), art.data["vectors"], eff_k,
+                    metric=metric, refine=True,
                 )
                 out_d[short] = np.asarray(fd)[:n_short]
                 out_i[short] = np.asarray(fi)[:n_short]

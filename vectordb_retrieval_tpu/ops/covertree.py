@@ -39,38 +39,39 @@ class CoverTreeSearchResult(NamedTuple):
     overflow: jax.Array  # [B] bool — frontier overflowed, result may be inexact
 
 
-def _score(queries, vectors, ids, metric):
-    """Distances to per-query id lists; -1 -> +inf. Returns true L2 (sqrt)."""
-    safe = jnp.where(ids >= 0, ids, 0)
-    vecs = vectors[safe]
-    dots = jnp.einsum(
-        "bcd,bd->bc", vecs, queries, preferred_element_type=jnp.float32
-    )
-    qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
-    if metric == "l2":
-        vn = jnp.sum(vecs * vecs, axis=-1, dtype=jnp.float32)
-        d = jnp.sqrt(jnp.maximum(qn[:, None] + vn - 2.0 * dots, 0.0))
-    else:  # ip/cosine on normalised vectors: monotone map of L2, exactness kept
-        vn = jnp.sum(vecs * vecs, axis=-1, dtype=jnp.float32)
-        d = jnp.sqrt(jnp.maximum(qn[:, None] + vn - 2.0 * dots, 0.0))
-    return jnp.where(ids >= 0, d, jnp.inf)
+def _score(queries, vectors, point_ids, node_ids):
+    """True-L2 distances from each query to the points of per-query node id
+    lists; -1 node ids -> +inf.
+
+    Diff-form (``sum((q-x)^2)``) rather than the matmul norm expansion:
+    cancellation-free, so the pruning bound and result distances are exact
+    to f32 rounding — required for the exactness guarantee (SURVEY.md s7(c)).
+    """
+    safe_nodes = jnp.where(node_ids >= 0, node_ids, 0)
+    rows = point_ids[safe_nodes]
+    vecs = vectors[rows]
+    diff = vecs - queries[:, None, :]
+    # VPU sum, not einsum: MXU contractions drop inputs to bf16
+    d = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    return jnp.where(node_ids >= 0, d, jnp.inf)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "f_max", "expand", "max_iters", "metric")
+    jax.jit, static_argnames=("k", "f_max", "expand", "max_iters")
 )
 def covertree_search(
     queries: jax.Array,  # [B, d]
-    vectors: jax.Array,  # [N, d]
-    radii: jax.Array,  # [N] float32: 2^(level+1) subtree cover radius
-    children: jax.Array,  # [N, C] int32, -1 padded
-    has_children: jax.Array,  # [N] bool
+    vectors: jax.Array,  # [N, d]  (db points)
+    point_ids: jax.Array,  # [M] int32: node -> db row (virtual nodes reuse rows)
+    is_real: jax.Array,  # [M] bool: node contributes its point to top-k
+    radii: jax.Array,  # [M] float32 subtree cover radius
+    children: jax.Array,  # [M, C] int32 node ids, -1 padded
+    has_children: jax.Array,  # [M] bool
     root: int,
     k: int,
     f_max: int = 2048,
     expand: int = 16,
     max_iters: int = 4096,
-    metric: str = "l2",
 ) -> CoverTreeSearchResult:
     b, _ = queries.shape
     c = children.shape[1]
@@ -78,9 +79,9 @@ def covertree_search(
 
     # score root, init best + frontier
     root_ids = jnp.full((b, 1), root, jnp.int32)
-    root_d = _score(queries, vectors, root_ids, metric)
+    root_d = _score(queries, vectors, point_ids, root_ids)
     best_d = jnp.full((b, k), inf, jnp.float32).at[:, 0].set(root_d[:, 0])
-    best_i = jnp.full((b, k), -1, jnp.int32).at[:, 0].set(root)
+    best_i = jnp.full((b, k), -1, jnp.int32).at[:, 0].set(point_ids[root])
 
     fids = jnp.full((b, f_max), -1, jnp.int32)
     fd = jnp.full((b, f_max), inf, jnp.float32)
@@ -121,12 +122,16 @@ def covertree_search(
         kid_ids = jnp.where(
             jnp.repeat(sel_ids >= 0, c, axis=1), kid_ids, -1
         )
-        kd = _score(queries, vectors, kid_ids, metric)
+        kd = _score(queries, vectors, point_ids, kid_ids)
         ndis = ndis + jnp.sum(kid_ids >= 0, axis=1, dtype=jnp.int32)
 
-        # update running top-k with scored children
-        cat_d = jnp.concatenate([best_d, kd], axis=1)
-        cat_i = jnp.concatenate([best_i, kid_ids], axis=1)
+        # update running top-k with scored REAL children (virtual nodes reuse
+        # an existing point and must not duplicate it in the result set)
+        kid_real = is_real[jnp.where(kid_ids >= 0, kid_ids, 0)] & (kid_ids >= 0)
+        score_d = jnp.where(kid_real, kd, inf)
+        score_pts = jnp.where(kid_real, point_ids[jnp.where(kid_ids >= 0, kid_ids, 0)], -1)
+        cat_d = jnp.concatenate([best_d, score_d], axis=1)
+        cat_i = jnp.concatenate([best_i, score_pts], axis=1)
         nb, pos = jax.lax.top_k(-cat_d, k)
         best_d = -nb
         best_i = jnp.take_along_axis(cat_i, pos, axis=1)

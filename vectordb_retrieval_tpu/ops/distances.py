@@ -72,6 +72,11 @@ def pairwise_distances(
 
     ``cosine`` assumes *both* sides are already unit-normalised (callers
     normalise the database once at build time and queries per batch).
+
+    Precision note: TPU's *default* matmul precision truncates f32 inputs to
+    bf16 (error ~2e-3 relative — enough to reorder dozens of ranks on
+    concentrated data). HIGHEST runs the bf16x3/x6 decomposition, recovering
+    f32-accurate dots; the exact family and ground truth depend on it.
     """
     _check_metric(metric)
     dots = jax.lax.dot_general(
@@ -79,6 +84,7 @@ def pairwise_distances(
         database,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     if metric == "l2":
         qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
@@ -86,6 +92,86 @@ def pairwise_distances(
         d = qn[:, None] + xn[None, :].astype(jnp.float32) - 2.0 * dots
         return jnp.maximum(d, 0.0)
     return -dots
+
+
+def take_rows_onehot(
+    database: jax.Array, ids_flat: jax.Array, chunk: int = 4096
+) -> jax.Array:
+    """Row gather as one-hot MXU matmuls (gather-free).
+
+    Plain HLO gathers carry a large fixed per-program cost on some TPU
+    runtimes (and are never MXU work); ``one_hot(ids) @ db_chunk`` streams
+    the table through the MXU instead, with the one-hot transient bounded to
+    ``[R, chunk]`` by a scan. Exact: each output row sums one table row.
+    """
+    n, d = database.shape
+    chunk = clamp_chunk(chunk, n, align=256)
+    nc = -(-n // chunk)
+    dbp = jnp.pad(database, ((0, nc * chunk - n), (0, 0))).reshape(nc, chunk, d)
+
+    def body(acc, inp):
+        ci, dchunk = inp
+        rel = ids_flat - ci * chunk
+        inb = ((rel >= 0) & (rel < chunk)).astype(jnp.float32)[:, None]
+        oh = jax.nn.one_hot(
+            jnp.clip(rel, 0, chunk - 1), chunk, dtype=jnp.float32
+        ) * inb
+        # HIGHEST: default precision would round the gathered table values
+        # to bf16, corrupting the exact rescoring pass
+        part = jax.lax.dot_general(
+            oh, dchunk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return acc + part, None
+
+    acc, _ = jax.lax.scan(
+        body,
+        jnp.zeros((ids_flat.shape[0], d), jnp.float32),
+        (jnp.arange(nc, dtype=jnp.int32), dbp),
+    )
+    return acc
+
+
+# one-hot gather costs O(R * N) MXU flops — a win for small candidate sets
+# (it avoids the TPU gather slow path) but quadratic-ish for large ones
+_ONEHOT_GATHER_MAX_ROWS = 8192
+
+
+def rescore_l2(
+    queries: jax.Array, database: jax.Array, ids: jax.Array
+) -> jax.Array:
+    """Cancellation-free squared-L2 rescoring of candidate ids.
+
+    The matmul form ``||q||^2+||x||^2-2qx`` loses ~1e-3 relative precision to
+    cancellation, enough to flip near-ties at the top-k boundary (SURVEY.md
+    section 7 hard-part (c)). Gathering the k candidates and computing
+    ``sum((q-x)^2)`` on the VPU (NOT einsum — MXU contractions drop to bf16
+    inputs) is exact to f32 rounding — used to re-rank the final candidates
+    of exact paths and of ground-truth generation so that ties resolve
+    consistently framework-wide. Small candidate sets gather via one-hot
+    matmul (fast path), large ones via plain HLO gather (O(R) work).
+    """
+    b, kk = ids.shape
+    safe = jnp.where(ids >= 0, ids, 0)
+    flat = safe.reshape(-1)
+    if flat.shape[0] <= _ONEHOT_GATHER_MAX_ROWS:
+        vecs = take_rows_onehot(database, flat)
+    else:
+        vecs = jnp.take(database, flat, axis=0)
+    vecs = vecs.reshape(b, kk, database.shape[1])
+    diff = vecs - queries[:, None, :]
+    d = jnp.sum(diff * diff, axis=-1)
+    return jnp.where(ids >= 0, d, jnp.inf)
+
+
+def refine_topk_l2(
+    queries: jax.Array, database: jax.Array, ids: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Re-rank a top-k candidate list with accurate L2 distances."""
+    d = rescore_l2(queries, database, ids)
+    nd, sel = top_k_smallest(d, d.shape[1])
+    return nd, jnp.take_along_axis(ids, sel, axis=1)
 
 
 def top_k_smallest(distances: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
@@ -96,19 +182,26 @@ def top_k_smallest(distances: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     return -neg_vals, idx
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric"))
+@functools.partial(jax.jit, static_argnames=("k", "metric", "refine_to"))
 def _exact_search_dense(
     queries: jax.Array,
     database: jax.Array,
     db_sqnorms: Optional[jax.Array],
     k: int,
     metric: str,
+    refine_to: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     d = pairwise_distances(queries, database, metric, db_sqnorms)
-    return top_k_smallest(d, k)
+    dists, ids = top_k_smallest(d, k)
+    if refine_to is not None and metric == "l2":
+        dists, ids = refine_topk_l2(queries, database, ids)
+        dists, ids = dists[:, :refine_to], ids[:, :refine_to]
+    return dists, ids
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk_rows"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "chunk_rows", "refine_to")
+)
 def _exact_search_streamed(
     queries: jax.Array,
     database: jax.Array,
@@ -116,6 +209,7 @@ def _exact_search_streamed(
     k: int,
     metric: str,
     chunk_rows: int,
+    refine_to: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Stream DB chunks through lax.scan with a running top-k merge."""
     n, dim = database.shape
@@ -170,7 +264,13 @@ def _exact_search_streamed(
         return step(carry, (ci, cv, None))
 
     (best_d, best_i), _ = jax.lax.scan(step_wrap, init, xs)
+    if refine_to is not None and metric == "l2":
+        best_d, best_i = refine_topk_l2(queries, database, best_i)
+        best_d, best_i = best_d[:, :refine_to], best_i[:, :refine_to]
     return best_d, best_i
+
+
+REFINE_OVERFETCH = 16
 
 
 def exact_search(
@@ -180,18 +280,36 @@ def exact_search(
     metric: str = "l2",
     db_sqnorms: Optional[jax.Array] = None,
     chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    refine: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact k-NN: ``(dists[B, k], ids[B, k])``, ascending distance.
 
     Dense path for small databases, streamed scan for large ones. ``k`` is
     clamped to N by the caller (indices past N never appear).
+
+    ``refine=True`` (l2 only) overfetches candidates and re-ranks them with
+    the cancellation-free rescoring pass — all fused into the same compiled
+    program — so near-ties at the k boundary resolve exactly.
     """
     _check_metric(metric)
     n = database.shape[0]
     if k > n:
         raise ValueError(f"k={k} exceeds database size {n}")
+    refine_to: Optional[int] = None
+    fetch_k = k
+    if refine and metric == "l2":
+        refine_to = k
+        fetch_k = min(k + REFINE_OVERFETCH, n)
     if n <= _DENSE_PATH_MAX_ROWS:
-        return _exact_search_dense(queries, database, db_sqnorms, k, metric)
+        return _exact_search_dense(
+            queries, database, db_sqnorms, fetch_k, metric, refine_to
+        )
     return _exact_search_streamed(
-        queries, database, db_sqnorms, k, metric, clamp_chunk(chunk_rows, n)
+        queries,
+        database,
+        db_sqnorms,
+        fetch_k,
+        metric,
+        clamp_chunk(chunk_rows, n),
+        refine_to,
     )

@@ -143,18 +143,19 @@ def rerank(
     k: int,
     metric: str = "l2",
 ) -> Tuple[jax.Array, jax.Array]:
-    """Exact rescoring of gathered candidates -> top-k (dists, ids)."""
+    """Exact rescoring of gathered candidates -> top-k (dists, ids).
+
+    L2 uses the cancellation-free diff form (see dops.rescore_l2)."""
     safe = jnp.where(cand_ids >= 0, cand_ids, 0)
     vecs = database[safe]  # [B, C, d]
-    dots = jnp.einsum(
-        "bcd,bd->bc", vecs, queries, preferred_element_type=jnp.float32
-    )
     if metric == "l2":
-        qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
-        vn = jnp.sum(vecs * vecs, axis=-1, dtype=jnp.float32)
-        dist = qn[:, None] + vn - 2.0 * dots
+        diff = vecs - queries[:, None, :]
+        # VPU sum, not einsum: MXU contractions drop inputs to bf16
+        dist = jnp.sum(diff * diff, axis=-1)
     else:
-        dist = -dots
+        dist = -jnp.einsum(
+            "bcd,bd->bc", vecs, queries, preferred_element_type=jnp.float32
+        )
     dist = jnp.where(cand_ids >= 0, dist, jnp.inf)
     kk = min(k, cand_ids.shape[1])
     d, sel = dops.top_k_smallest(dist, kk)

@@ -77,7 +77,32 @@ def pq_encode(
 
 
 def pq_reconstruct(codes: jax.Array, codebooks: jax.Array) -> jax.Array:
-    """Decode ``codes [C, m]`` -> ``x_hat [C, m*dsub]`` via embedding gather."""
+    """Decode ``codes [C, m]`` -> ``x_hat [C, m*dsub]`` via one-hot matmul.
+
+    ``one_hot(codes_m) @ codebook_m`` puts the codebook lookup on the MXU
+    instead of issuing per-row gathers (which serialize badly on TPU — the
+    gather variant measured ~10x slower inside the IVF-PQ probe loop). The
+    scan over subspaces bounds the one-hot transient to ``[C, ksub]``.
+    """
+    m, ksub, dsub = codebooks.shape
+
+    def body(_, inp):
+        cb_m, codes_m = inp  # [ksub, dsub], [C]
+        onehot = jax.nn.one_hot(codes_m, ksub, dtype=cb_m.dtype)
+        part = jax.lax.dot_general(
+            onehot, cb_m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return None, part
+
+    _, parts = jax.lax.scan(
+        body, None, (codebooks, codes.astype(jnp.int32).T)
+    )  # parts: [m, C, dsub]
+    return parts.transpose(1, 0, 2).reshape(codes.shape[0], -1)
+
+
+def pq_reconstruct_gather(codes: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """Embedding-gather decode (oracle for tests; slow on TPU)."""
 
     def per_sub(cb_m, codes_m):  # [ksub, dsub], [C] -> [C, dsub]
         return jnp.take(cb_m, codes_m, axis=0)
