@@ -331,7 +331,7 @@ class ANNSearcher(BaseSearcher):
                 + self._nprobe() * meta.get("max_list_len", 0)
             )
         if self.artifact.kind == "graph":
-            ef = int(self.params.get("efSearch", meta.get("efSearch", 100)))
-            iters = max(12, -(-ef // 8) + 4)
-            return int(iters * 8 * meta.get("degree", 0))
+            ef = max(int(self.params.get("efSearch", meta.get("efSearch", 100))) * 5 // 4, 16)
+            iters = max(12, -(-ef // 16) + 12)
+            return int(iters * 16 * meta.get("degree", 0))
         return int(n_database)
