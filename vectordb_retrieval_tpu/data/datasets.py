@@ -57,7 +57,15 @@ def compute_ground_truth(
 
 
 def read_fvecs(path: str, limit: Optional[int] = None) -> np.ndarray:
-    """Parse .fvecs: per-row int32 dim header then dim float32s."""
+    """Parse .fvecs: per-row int32 dim header then dim float32s.
+
+    Uses the native mmap/multithreaded parser (native/vrt_io.cpp) when the
+    library is built; NumPy fallback otherwise.
+    """
+    from vectordb_retrieval_tpu.data import native_io
+
+    if native_io.available():
+        return native_io.read_fvecs(path, limit)
     raw = np.fromfile(path, dtype=np.int32)
     if raw.size == 0:
         return np.zeros((0, 0), dtype=np.float32)
@@ -73,6 +81,10 @@ def read_fvecs(path: str, limit: Optional[int] = None) -> np.ndarray:
 
 
 def read_ivecs(path: str, limit: Optional[int] = None) -> np.ndarray:
+    from vectordb_retrieval_tpu.data import native_io
+
+    if native_io.available():
+        return native_io.read_ivecs(path, limit)
     raw = np.fromfile(path, dtype=np.int32)
     if raw.size == 0:
         return np.zeros((0, 0), dtype=np.int32)
@@ -82,6 +94,64 @@ def read_ivecs(path: str, limit: Optional[int] = None) -> np.ndarray:
     if limit is not None:
         n = min(n, limit)
     return raw[: n * row].reshape(n, row)[:, 1:].copy()
+
+
+def _download(url: str, dest: str) -> None:
+    """Fetch ``url`` to ``dest`` atomically; partial files removed on error
+    (reference dataset.py:164-211). Works for http(s) and ftp URLs."""
+    import urllib.request
+
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    tmp = dest + ".part"
+    try:
+        with urllib.request.urlopen(url, timeout=60) as r, open(tmp, "wb") as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        os.replace(tmp, dest)
+    except Exception:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
+
+
+SIFT1M_URL = "ftp://ftp.irisa.fr/local/texmex/corpus/sift.tar.gz"
+GLOVE_URL = "https://nlp.stanford.edu/data/glove.6B.zip"
+
+
+def ensure_sift1m(root: str) -> None:
+    """Download + extract SIFT1M if the .fvecs files are absent."""
+    base = os.path.join(root, "sift_base.fvecs")
+    if os.path.exists(base):
+        return
+    import tarfile
+
+    archive = os.path.join(root, "sift.tar.gz")
+    if not os.path.exists(archive):
+        _download(SIFT1M_URL, archive)
+    with tarfile.open(archive, "r:gz") as tf:
+        tf.extractall(root)
+    # archive extracts into sift/; move files up
+    inner = os.path.join(root, "sift")
+    if os.path.isdir(inner):
+        for name in os.listdir(inner):
+            os.replace(os.path.join(inner, name), os.path.join(root, name))
+
+
+def ensure_glove50(path: str) -> None:
+    """Download + extract glove.6B.50d.txt if absent."""
+    if os.path.exists(path):
+        return
+    import zipfile
+
+    root = os.path.dirname(path)
+    archive = os.path.join(root, "glove.6B.zip")
+    if not os.path.exists(archive):
+        _download(GLOVE_URL, archive)
+    with zipfile.ZipFile(archive) as zf:
+        zf.extract("glove.6B.50d.txt", root)
 
 
 class Dataset:
@@ -202,6 +272,14 @@ class Dataset:
         the file is missing or when limits alter the base set.
         """
         root = os.path.join(self.data_dir, self.options.get("subdir", "sift1m"))
+        if not os.path.exists(os.path.join(root, "sift_base.fvecs")):
+            try:
+                ensure_sift1m(root)
+            except Exception as exc:
+                raise FileNotFoundError(
+                    f"SIFT1M files missing under {root} and download failed "
+                    f"({exc}); place sift_base.fvecs / sift_query.fvecs there"
+                ) from exc
         base_limit = self.options.get("base_limit")
         query_limit = self.options.get("test_size", self.options.get("query_limit"))
         base = read_fvecs(os.path.join(root, "sift_base.fvecs"), base_limit)
@@ -223,6 +301,14 @@ class Dataset:
         path = self.options.get(
             "glove_path", os.path.join(self.data_dir, "glove50", "glove.6B.50d.txt")
         )
+        if not os.path.exists(path):
+            try:
+                ensure_glove50(path)
+            except Exception as exc:
+                raise FileNotFoundError(
+                    f"GloVe file missing at {path} and download failed "
+                    f"({exc}); place glove.6B.50d.txt there"
+                ) from exc
         train_limit = self.options.get("train_limit")
         test_size = int(self.options.get("test_size", 1000))
         seed = int(self.options.get("seed", 42))
