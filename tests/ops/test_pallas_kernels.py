@@ -1,0 +1,27 @@
+"""Pallas kernels vs XLA reference (interpreter mode on CPU hosts)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from vectordb_retrieval_tpu.ops.kmeans import kmeans_assign
+from vectordb_retrieval_tpu.ops.pallas_kernels import kmeans_assign_fused
+
+
+def test_pallas_assign_matches_xla(rng):
+    x = jnp.asarray(rng.standard_normal((1000, 32)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32))
+    a_pallas, d_pallas = kmeans_assign_fused(x, c)
+    a_xla = kmeans_assign(x, c)
+    # identical up to exact distance ties
+    agree = (np.asarray(a_pallas) == np.asarray(a_xla)).mean()
+    assert agree > 0.999
+    assert np.all(np.asarray(d_pallas) >= -1e-3)
+
+
+def test_pallas_assign_ragged_rows(rng):
+    x = jnp.asarray(rng.standard_normal((1030, 16)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((16, 16)).astype(np.float32))
+    a, d = kmeans_assign_fused(x, c)
+    assert a.shape == (1030,) and d.shape == (1030,)
+    assert int(jnp.max(a)) < 16 and int(jnp.min(a)) >= 0
