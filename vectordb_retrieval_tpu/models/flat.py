@@ -54,15 +54,69 @@ class BruteForceIndexer(BaseIndexer):
         )
 
 
+@register_indexer("ShardedFlatIndexer")
+class ShardedFlatIndexer(BaseIndexer):
+    """Flat index sharded row-wise over all available devices.
+
+    The multi-chip scale-out surface (SURVEY.md section 2.3): database rows
+    spread over the mesh ``db`` axis with NamedSharding; LinearSearcher then
+    serves queries with the collective-merge kernel
+    (parallel/sharded.sharded_exact_search). On a single device this
+    degrades gracefully to the local scan.
+    """
+
+    def __init__(self, metric: str = "l2", n_devices: int = 0, **params):
+        super().__init__(metric=metric, **params)
+        self.n_devices = int(n_devices)  # 0 = all
+
+    def build(self, vectors: np.ndarray, dimension: int) -> IndexArtifact:
+        from vectordb_retrieval_tpu.parallel import make_mesh, shard_database
+
+        x = np.ascontiguousarray(vectors, dtype=np.float32)
+        if self.metric == "cosine":
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.maximum(norms, 1e-12)
+        n_dev = self.n_devices or len(jax.devices())
+        mesh = make_mesh(n_dev)
+        sharded, n = shard_database(x, mesh)
+        art = IndexArtifact(
+            kind="flat_sharded",
+            data={"vectors": jax.block_until_ready(sharded)},
+            metadata={
+                "metric": self.metric,
+                "dimension": int(dimension),
+                "n_vectors": int(n),
+                "normalize_queries": self.metric == "cosine",
+                "n_devices": int(n_dev),
+            },
+        )
+        art.mesh = mesh  # runtime-only (not persisted; re-built on load)
+        return art
+
+
 @register_searcher("LinearSearcher")
 class LinearSearcher(BaseSearcher):
-    """Exact scan over a ``flat`` artifact via the streamed MXU kernel."""
+    """Exact scan over a ``flat`` artifact via the streamed MXU kernel,
+    or over a ``flat_sharded`` artifact via the collective top-k merge."""
 
     def attach(self, artifact: IndexArtifact) -> None:
-        if artifact.kind != "flat":
+        if artifact.kind not in ("flat", "flat_sharded"):
             raise ValueError(
                 f"LinearSearcher requires a 'flat' artifact, got {artifact.kind!r}"
             )
+        if artifact.kind == "flat_sharded" and not hasattr(artifact, "mesh"):
+            # loaded from disk: re-shard over the current devices
+            from vectordb_retrieval_tpu.parallel import make_mesh, shard_database
+
+            mesh = make_mesh(artifact.metadata.get("n_devices") or None)
+            sharded, _ = shard_database(
+                np.asarray(artifact.data["vectors"])[
+                    : artifact.metadata["n_vectors"]
+                ],
+                mesh,
+            )
+            artifact.data["vectors"] = sharded
+            artifact.mesh = mesh
         self.artifact = artifact
 
     def device_batch_search(self, queries: np.ndarray, k: int):
@@ -83,6 +137,18 @@ class LinearSearcher(BaseSearcher):
         n = meta["n_vectors"]
         eff_k = min(k, n)
         score_metric = metric if metric != "cosine" else "ip"
+        if self.artifact.kind == "flat_sharded":
+            from vectordb_retrieval_tpu.parallel import sharded_exact_search
+
+            dists, ids = sharded_exact_search(
+                qd,
+                self.artifact.data["vectors"],
+                n,
+                eff_k,
+                self.artifact.mesh,
+                metric=score_metric,
+            )
+            return dists, ids, b
         # refine=True: fused overfetch + accurate rescoring so near-ties at
         # the k boundary resolve exactly (dops.rescore_l2 docstring)
         dists, ids = dops.exact_search(
