@@ -71,8 +71,24 @@ def _encode_transformers(texts: List[str]) -> np.ndarray:
 
 
 def _encode_synthetic(texts: List[str], seed: int) -> np.ndarray:
+    """Clustered low-intrinsic-dimension unit vectors.
+
+    Uniform high-d sphere points make nearest-neighbour structure
+    degenerate (all distances concentrate), which is unrepresentative of
+    real sentence embeddings; a gaussian-mixture on a low-rank subspace
+    reproduces the cluster/manifold structure ANN indexes exploit.
+    """
     rng = np.random.default_rng(seed)
-    x = rng.standard_normal((len(texts), DIM)).astype(np.float32)
+    n = len(texts)
+    n_clusters = max(8, min(1024, n // 64))
+    rank = 64  # intrinsic dimensionality
+    basis = rng.standard_normal((rank, DIM)).astype(np.float32)
+    centers_z = rng.standard_normal((n_clusters, rank)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, size=n)
+    z = centers_z[assign] + 0.35 * rng.standard_normal((n, rank)).astype(
+        np.float32
+    )
+    x = z @ basis + 0.05 * rng.standard_normal((n, DIM)).astype(np.float32)
     return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
 
 

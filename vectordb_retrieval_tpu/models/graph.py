@@ -42,7 +42,7 @@ class GraphIndexer(BaseIndexer):
         M: int = 16,
         efConstruction: int = 200,
         efSearch: int = 100,
-        n_entry: int = 8,
+        n_entry: int = 0,
         seed: int = 42,
         **params: Any,
     ):
@@ -50,18 +50,20 @@ class GraphIndexer(BaseIndexer):
         self.M = int(M)
         self.efConstruction = int(efConstruction)
         self.efSearch = int(efSearch)
-        self.n_entry = int(n_entry)
+        self.n_entry = int(n_entry)  # 0 = auto (scales with N)
         self.seed = int(seed)
 
     def build(self, vectors: np.ndarray, dimension: int) -> IndexArtifact:
         x = jnp.asarray(np.ascontiguousarray(vectors, dtype=np.float32))
         if self.metric == "cosine":
             x = dops.normalize(x)
-        degree = min(2 * self.M, max(x.shape[0] - 1, 1))
+        n = x.shape[0]
+        degree = min(2 * self.M, max(n - 1, 1))
         adjacency = gops.build_knn_graph(x, degree)
-        entries = gops.pick_entry_points(
-            x, min(self.n_entry, x.shape[0]), seed=self.seed
-        )
+        # coarse-quantizer entries replace HNSW's upper layers; scale ~N/64
+        # so clustered corpora stay reachable (pick_entry_points docstring)
+        n_entry = self.n_entry or min(2048, max(16, n // 64))
+        entries = gops.pick_entry_points(x, min(n_entry, n), seed=self.seed)
         return IndexArtifact(
             "graph",
             jax.block_until_ready(
