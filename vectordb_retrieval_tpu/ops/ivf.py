@@ -125,40 +125,59 @@ def ivf_pq_search(
     centroids: jax.Array,
     slot_ids: jax.Array,
     list_codes: jax.Array,
-    list_sqnorms: jax.Array,  # ||residual_hat||^2 per slot
+    list_sqnorms: jax.Array,  # ||residual_hat||^2 per slot (kept for parity)
     codebooks: jax.Array,
     k: int,
     nprobe: int,
     metric: str = "l2",
 ) -> Tuple[jax.Array, jax.Array]:
-    """IVF-PQ with residual codes: score ||(q - c_l) - r_hat||^2 per slot.
+    """IVF-PQ, decode-on-read: reconstruct every list ONCE per query batch
+    (one chunked one-hot decode pass over the codes, query-independent),
+    then probe like IVF-Flat over the reconstructions.
 
-    For ``ip`` the score is ``-(q.c_l + q.r_hat)`` (exact IP on the
-    reconstruction c_l + r_hat).
+    Per-probe decoding (classic ADC layout) re-decodes each probed list for
+    every query — with 128-query batches and nprobe 48 that is ~50x more
+    decode work than the corpus contains. The reconstruction
+    ``x_hat = c_l + r_hat`` is transient HBM (freed after the search);
+    persisted index storage stays codes-only. Distances are identical to
+    residual ADC: ``||q - (c_l + r_hat)||^2``.
     """
+    nlist, L, m = list_codes.shape
+    d = centroids.shape[1]
+
+    chunk = max(1, min(nlist, -(-65_536 // max(L, 1))))
+    n_chunks = -(-nlist // chunk)
+    pad = n_chunks * chunk - nlist
+    codes_p = jnp.pad(list_codes, ((0, pad), (0, 0), (0, 0))).reshape(
+        n_chunks, chunk, L, m
+    )
+    cents_p = jnp.pad(centroids, ((0, pad), (0, 0))).reshape(
+        n_chunks, chunk, d
+    )
+
+    def decode(_, inp):
+        cc, cl = inp  # [chunk, L, m], [chunk, d]
+        r_hat = pqops.pq_reconstruct(cc.reshape(chunk * L, m), codebooks)
+        x_hat = r_hat.reshape(chunk, L, d) + cl[:, None, :]
+        return None, (x_hat, jnp.sum(x_hat * x_hat, axis=-1))
+
+    _, (recon, recon_sqn) = jax.lax.scan(decode, None, (codes_p, cents_p))
+    recon = recon.reshape(n_chunks * chunk, L, d)[:nlist]
+    recon_sqn = recon_sqn.reshape(n_chunks * chunk, L)[:nlist]
+
     probes = _coarse_probes(queries, centroids, nprobe)
+    qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
 
     def score(lists):
-        codes = list_codes[lists]  # [B, L, m]
+        vecs = recon[lists]
         ids = slot_ids[lists]
-        b, L, m = codes.shape
-        r_hat = pqops.pq_reconstruct(
-            codes.reshape(b * L, m), codebooks
-        ).reshape(b, L, -1)
-        c_l = centroids[lists]  # [B, d]
+        dots = jnp.einsum(
+            "bld,bd->bl", vecs, queries, preferred_element_type=jnp.float32
+        )
         if metric == "l2":
-            qr = queries - c_l  # residual query [B, d]
-            qn = jnp.sum(qr * qr, axis=-1, dtype=jnp.float32)
-            dots = jnp.einsum(
-                "bld,bd->bl", r_hat, qr, preferred_element_type=jnp.float32
-            )
-            dist = qn[:, None] + list_sqnorms[lists] - 2.0 * dots
+            dist = qn[:, None] + recon_sqn[lists] - 2.0 * dots
         else:
-            qc = jnp.sum(queries * c_l, axis=-1, dtype=jnp.float32)
-            dots = jnp.einsum(
-                "bld,bd->bl", r_hat, queries, preferred_element_type=jnp.float32
-            )
-            dist = -(qc[:, None] + dots)
+            dist = -dots
         return dist, ids
 
     return _probe_scan(queries, centroids, probes, k, score)
