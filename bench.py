@@ -3,13 +3,18 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload matches the reference's hardest exact-search row: 100,000 x 384-d
-vectors (MiniLM-sized), topk=20, batched queries. Baseline: the reference's
-CPU FAISS IndexFlat on the same shape reached 550.41 QPS at recall 1.0
-(BASELINE.md, benchmark_20260305_070532 msmarco row). Exact search has
-recall 1.0 by construction on both sides, so QPS is apples-to-apples.
+vectors (MiniLM-sized), topk=20, 256-query batches. Baseline: the
+reference's CPU FAISS IndexFlat on the same shape reached 550.41 QPS at
+recall 1.0 (BASELINE.md, benchmark_20260305_070532 msmarco row). Exact
+search has recall 1.0 by construction on both sides, so QPS is
+apples-to-apples.
 
-Timing discipline: jit-compile + warm-up excluded; every timed region blocks
-until device results are ready (async dispatch cannot inflate QPS).
+Timing discipline: the whole measured stream — REPEATS passes over REPEATS
+distinct query batches — runs as ONE compiled program (a lax.scan whose
+iterations carry a data dependency, so the compiler cannot elide passes),
+and the clock stops only after results are materialised on the host.
+``block_until_ready`` alone is not trusted: on tunneled runtimes it can
+return before device work completes, silently inflating QPS.
 """
 
 from __future__ import annotations
@@ -30,24 +35,39 @@ def main() -> None:
     import jax.numpy as jnp
 
     from vectordb_retrieval_tpu.ops import distances as dops
+    from vectordb_retrieval_tpu.utils.compat import enable_compilation_cache
 
+    enable_compilation_cache()
     rng = np.random.default_rng(7)
     db = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
     sqn = dops.sq_norms(db)
-    queries = jnp.asarray(rng.standard_normal((BATCH, D)).astype(np.float32))
-    db, sqn, queries = jax.block_until_ready((db, sqn, queries))
+    queries = jnp.asarray(
+        rng.standard_normal((REPEATS, BATCH, D)).astype(np.float32)
+    )
+    _ = np.asarray(jnp.sum(db))  # force upload
 
-    def run():
-        return dops.exact_search(queries, db, K, metric="l2", db_sqnorms=sqn)
+    def stream(qs):
+        def body(carry, qb):
+            d, i = dops.exact_search(
+                qb + carry * jnp.float32(0.0),  # defeat loop hoisting
+                db,
+                K,
+                metric="l2",
+                db_sqnorms=sqn,
+            )
+            return jnp.max(d) * jnp.float32(1e-38), i
 
-    jax.block_until_ready(run())  # compile + warm-up
+        _, ids = jax.lax.scan(body, jnp.float32(0.0), qs)
+        return ids
+
+    compiled = jax.jit(stream)
+    np.asarray(compiled(queries))  # compile + warm-up (excluded)
 
     start = time.perf_counter()
-    for _ in range(REPEATS):
-        out = run()
-    jax.block_until_ready(out)
+    ids = np.asarray(compiled(queries))
     elapsed = time.perf_counter() - start
 
+    assert ids.shape == (REPEATS, BATCH, K)
     qps = (BATCH * REPEATS) / elapsed
     print(
         json.dumps(

@@ -77,6 +77,25 @@ class CompositeAlgorithm(BaseAlgorithm):
     def supports_pipelined_search(self) -> bool:
         return hasattr(self.searcher, "device_batch_search")
 
+    def device_kernel(self, q, k: int):
+        """Traceable search kernel when the searcher provides one."""
+        kernel = getattr(self.searcher, "device_kernel", None)
+        if kernel is None:
+            raise NotImplementedError
+        return kernel(q, k)
+
+    @property
+    def has_device_kernel(self) -> bool:
+        return hasattr(self.searcher, "device_kernel")
+
+    def record_stream_ops(self, n_queries: int) -> None:
+        """Analytic op accounting for kernel-fused query streams (the fused
+        path bypasses batch_search, so the counter is applied here)."""
+        n = self.artifact.metadata.get("n_vectors", 0) if self.artifact else 0
+        self.record_operation(
+            "ndis", self.searcher.estimated_ops_per_query(n) * int(n_queries)
+        )
+
     def device_batch_search(self, queries: np.ndarray, k: int):
         """Non-blocking dispatch: ``(dists_dev, ids_dev, n_rows)``.
 

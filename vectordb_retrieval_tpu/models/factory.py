@@ -246,15 +246,10 @@ class ANNSearcher(BaseSearcher):
         metric = self.artifact.metadata.get("metric", self.metric)
         return "ip" if metric in ("ip", "cosine") else "l2"
 
-    def device_batch_search(self, queries: np.ndarray, k: int):
-        """Dispatch without blocking: returns (dists_dev, ids_dev, n_rows)."""
-        if self.artifact is None:
-            raise RuntimeError("searcher not attached")
+    def device_kernel(self, q: "jnp.ndarray", k: int):
+        """Traceable search kernel (composable under an outer jit)."""
         art = self.artifact
         meta = art.metadata
-        q_np = np.ascontiguousarray(queries, dtype=np.float32)
-        padded, b = pad_batch(q_np)
-        q = jnp.asarray(padded)
         if meta.get("normalize_queries"):
             q = dops.normalize(q)
         metric = self._score_metric()
@@ -307,6 +302,15 @@ class ANNSearcher(BaseSearcher):
                 d["list_sqnorms"], d["vmin"], d["step"], eff_k, self._nprobe(),
                 metric=metric,
             )
+        return dists, ids
+
+    def device_batch_search(self, queries: np.ndarray, k: int):
+        """Dispatch without blocking: returns (dists_dev, ids_dev, n_rows)."""
+        if self.artifact is None:
+            raise RuntimeError("searcher not attached")
+        q_np = np.ascontiguousarray(queries, dtype=np.float32)
+        padded, b = pad_batch(q_np)
+        dists, ids = self.device_kernel(jnp.asarray(padded), k)
         return dists, ids, b
 
     def batch_search(

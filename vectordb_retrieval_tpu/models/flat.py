@@ -119,19 +119,13 @@ class LinearSearcher(BaseSearcher):
             artifact.mesh = mesh
         self.artifact = artifact
 
-    def device_batch_search(self, queries: np.ndarray, k: int):
-        """Dispatch without blocking: returns (dists_dev, ids_dev, n_rows).
+    def device_kernel(self, qd: "jnp.ndarray", k: int):
+        """Traceable search kernel: device queries in, device results out.
 
-        Lets the experiment loop pipeline batches (async dispatch) and block
-        once — essential when per-call device latency is high.
-        """
-        if self.artifact is None:
-            raise RuntimeError("searcher not attached to an artifact")
+        Composable under an outer jit (the experiment runner folds repeats
+        and batches into one compiled program around this)."""
         meta = self.artifact.metadata
         metric = meta.get("metric", self.metric)
-        q = np.ascontiguousarray(queries, dtype=np.float32)
-        padded, b = pad_batch(q)
-        qd = jnp.asarray(padded)
         if meta.get("normalize_queries"):
             qd = dops.normalize(qd)
         n = meta["n_vectors"]
@@ -140,7 +134,7 @@ class LinearSearcher(BaseSearcher):
         if self.artifact.kind == "flat_sharded":
             from vectordb_retrieval_tpu.parallel import sharded_exact_search
 
-            dists, ids = sharded_exact_search(
+            return sharded_exact_search(
                 qd,
                 self.artifact.data["vectors"],
                 n,
@@ -148,10 +142,9 @@ class LinearSearcher(BaseSearcher):
                 self.artifact.mesh,
                 metric=score_metric,
             )
-            return dists, ids, b
         # refine=True: fused overfetch + accurate rescoring so near-ties at
         # the k boundary resolve exactly (dops.rescore_l2 docstring)
-        dists, ids = dops.exact_search(
+        return dops.exact_search(
             qd,
             self.artifact.data["vectors"],
             eff_k,
@@ -159,6 +152,14 @@ class LinearSearcher(BaseSearcher):
             db_sqnorms=self.artifact.data.get("sqnorms"),
             refine=True,
         )
+
+    def device_batch_search(self, queries: np.ndarray, k: int):
+        """Dispatch without blocking: returns (dists_dev, ids_dev, n_rows)."""
+        if self.artifact is None:
+            raise RuntimeError("searcher not attached to an artifact")
+        q = np.ascontiguousarray(queries, dtype=np.float32)
+        padded, b = pad_batch(q)
+        dists, ids = self.device_kernel(jnp.asarray(padded), k)
         return dists, ids, b
 
     def batch_search(

@@ -75,8 +75,11 @@ def pairwise_distances(
 
     Precision note: TPU's *default* matmul precision truncates f32 inputs to
     bf16 (error ~2e-3 relative — enough to reorder dozens of ranks on
-    concentrated data). HIGHEST runs the bf16x3/x6 decomposition, recovering
-    f32-accurate dots; the exact family and ground truth depend on it.
+    concentrated data). HIGH runs the 3-pass bf16 decomposition (~1e-6
+    relative), which keeps rank perturbation well inside the exact family's
+    refine overfetch margin at half the cost of HIGHEST; ground truth and
+    exact searchers additionally re-rank with the cancellation-free diff
+    form (rescore_l2), so end results are exact to f32 rounding.
     """
     _check_metric(metric)
     dots = jax.lax.dot_general(
@@ -84,7 +87,7 @@ def pairwise_distances(
         database,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
     )
     if metric == "l2":
         qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
@@ -177,8 +180,18 @@ def refine_topk_l2(
 def top_k_smallest(distances: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     """Indices/values of the k smallest entries per row (ties by index order
     are NOT guaranteed to match NumPy argsort — compare distances in tests,
-    SURVEY.md section 7 hard-part (c))."""
-    neg_vals, idx = jax.lax.top_k(-distances, k)
+    SURVEY.md section 7 hard-part (c)).
+
+    Uses ``lax.approx_max_k`` with ``recall_target=1.0``: on TPU this lowers
+    to the two-stage PartialReduce selection, which is *bit-exact* at
+    recall 1.0 (verified against ``lax.top_k``) and several times faster
+    than the full-sort TopK on wide rows — the selection step, not the MXU
+    matmul, dominates large exact scans.
+    """
+    if distances.dtype != jnp.float32:
+        neg_vals, idx = jax.lax.top_k(-distances, k)
+        return -neg_vals, idx
+    neg_vals, idx = jax.lax.approx_max_k(-distances, k, recall_target=1.0)
     return -neg_vals, idx
 
 
