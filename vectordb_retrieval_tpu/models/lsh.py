@@ -107,20 +107,17 @@ class LSHSearcher(BaseSearcher):
         c = max(int(np.ceil(self.candidate_multiplier * k)), k)
         return min(c, n)
 
-    def batch_search(
-        self, queries: np.ndarray, k: int
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        if self.artifact is None:
-            raise RuntimeError("searcher not attached")
+    def device_kernel(self, q: "jnp.ndarray", k: int):
+        """Traceable LSH search: hash -> vote -> rerank, with the
+        brute-force fallback as a ``lax.cond`` — the exact-scan branch only
+        *executes* when some query lacks k collision candidates, preserving
+        the reference's fallback semantics (lsh.py:242-283) inside one
+        compiled program."""
         art = self.artifact
         meta = art.metadata
         metric = "ip" if meta["metric"] in ("ip", "cosine") else "l2"
-        q_np = np.ascontiguousarray(queries, dtype=np.float32)
-        padded, b = pad_batch(q_np)
-        q = jnp.asarray(padded)
         if meta.get("normalize_queries"):
             q = dops.normalize(q)
-
         if meta["metric"] == "cosine":
             qkeys = lshops.sign_keys(q, art.data["projections"])
         else:
@@ -138,23 +135,36 @@ class LSHSearcher(BaseSearcher):
         dists, ids = lshops.rerank(
             q, art.data["vectors"], cand, eff_k, metric=metric
         )
+        if not self.fallback_to_bruteforce:
+            return dists, ids
+
+        short = jnp.sum(ids >= 0, axis=1) < eff_k  # [B]
+
+        def with_fallback(args):
+            dists, ids = args
+            fd, fi = dops.exact_search(
+                q, art.data["vectors"], eff_k, metric=metric, refine=True
+            )
+            return (
+                jnp.where(short[:, None], fd, dists),
+                jnp.where(short[:, None], fi, ids),
+            )
+
+        return jax.lax.cond(
+            jnp.any(short), with_fallback, lambda a: a, (dists, ids)
+        )
+
+    def batch_search(
+        self, queries: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if self.artifact is None:
+            raise RuntimeError("searcher not attached")
+        q_np = np.ascontiguousarray(queries, dtype=np.float32)
+        padded, b = pad_batch(q_np)
+        dists, ids = self.device_kernel(jnp.asarray(padded), k)
         out_d = np.asarray(dists)[:b]
         out_i = np.asarray(ids)[:b].astype(np.int64)
-
-        if self.fallback_to_bruteforce:
-            short = (out_i >= 0).sum(axis=1) < eff_k
-            if short.any():
-                out_d = out_d.copy()
-                out_i = out_i.copy()
-                # pad fallback rows to a bucket to bound recompiles
-                fb_np, n_short = pad_batch(np.asarray(q[:b])[short])
-                fd, fi = dops.exact_search(
-                    jnp.asarray(fb_np), art.data["vectors"], eff_k,
-                    metric=metric, refine=True,
-                )
-                out_d[short] = np.asarray(fd)[:n_short]
-                out_i[short] = np.asarray(fi)[:n_short]
-
+        eff_k = out_d.shape[1]
         if eff_k < k:
             out_d = np.pad(out_d, ((0, 0), (0, k - eff_k)), constant_values=np.inf)
             out_i = np.pad(out_i, ((0, 0), (0, k - eff_k)), constant_values=-1)
