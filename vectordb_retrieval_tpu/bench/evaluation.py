@@ -96,6 +96,24 @@ class Evaluator:
             derived.append(1000.0 / qps)
         return "qps", derived, "Mean Query Time (ms, derived from QPS)"
 
+    def print_results(self) -> None:
+        """Console summary table (reference evaluation.py print_results)."""
+        if not self.results:
+            print("No evaluation results available.")
+            return
+        from vectordb_retrieval_tpu.bench.metric_utils import (
+            metrics_text_summary,
+        )
+
+        order = [f"recall@{k}" for k in self.k_values] + [
+            f"precision@{k}" for k in self.k_values
+        ] + ["map@10", "qps", "mean_query_time", "median_query_time"]
+        keys = [
+            m for m in order if any(m in r for r in self.results.values())
+        ]
+        print("\nEvaluation Results:\n")
+        print(metrics_text_summary(self.results, keys=keys))
+
     # -- plots -----------------------------------------------------------
     def plot_recall_vs_qps(self, output_file: str, k: int = 10) -> bool:
         """Recall@k vs QPS scatter (reference evaluation.py:147-210)."""
