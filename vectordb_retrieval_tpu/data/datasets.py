@@ -332,15 +332,55 @@ class Dataset:
             self.train_vectors, self.test_vectors, self._gt_k(), self.metric
         )
 
+    def _load_msmarco_tfidf(self) -> None:
+        """TF-IDF text path (reference dataset.py:668-856): corpus/queries
+        TSVs -> hashing tf-idf + random projection -> unit vectors + GT."""
+        from vectordb_retrieval_tpu.data.dataprep.embed_msmarco import read_tsv
+        from vectordb_retrieval_tpu.data.tfidf import texts_to_vectors
+
+        corpus_tsv = self.options.get("corpus_tsv")
+        queries_tsv = self.options.get("queries_tsv")
+        if not corpus_tsv or not queries_tsv:
+            raise ValueError(
+                "msmarco tf-idf mode needs options.corpus_tsv and "
+                "options.queries_tsv"
+            )
+        dim = int(self.options.get("dimensions", 384))
+        seed = int(self.options.get("seed", 42))
+        _, passages = read_tsv(corpus_tsv)
+        _, queries = read_tsv(queries_tsv)
+        base_limit = self.options.get("base_limit")
+        query_limit = self.options.get("query_limit")
+        if base_limit:
+            passages = passages[: int(base_limit)]
+        if query_limit:
+            queries = queries[: int(query_limit)]
+        train, vectorizer = texts_to_vectors(passages, dim=dim, seed=seed)
+        test, _ = texts_to_vectors(
+            queries, dim=dim, seed=seed, vectorizer=vectorizer
+        )
+        self.train_vectors = train
+        self.test_vectors = test
+        self.metric = self.options.get("metric", "cosine")
+        self.ground_truth = compute_ground_truth(
+            train, test, self._gt_k(), self.metric
+        )
+
     def _load_msmarco(self) -> None:
         """Pre-embedded MS MARCO .npy dir (reference dataset.py:966-1108):
         ``passage_embeddings.npy`` + ``query_embeddings.npy`` with
-        ``base_limit``/``query_limit`` prefix slicing and device GT."""
+        ``base_limit``/``query_limit`` prefix slicing and device GT. With
+        ``use_tfidf`` the TSV text path is used instead
+        (reference dataset.py:668-856)."""
+        if self.options.get("use_tfidf"):
+            self._load_msmarco_tfidf()
+            return
         emb_dir = self.options.get("embedded_dataset_dir")
         if not emb_dir:
             raise ValueError(
                 "msmarco requires options.embedded_dataset_dir pointing at "
-                "passage_embeddings.npy / query_embeddings.npy"
+                "passage_embeddings.npy / query_embeddings.npy "
+                "(or use_tfidf with corpus_tsv/queries_tsv)"
             )
         mmap = "r" if self.options.get("use_memmap_cache", True) else None
         passages = np.load(
