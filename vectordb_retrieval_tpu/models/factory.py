@@ -336,6 +336,7 @@ class ANNSearcher(BaseSearcher):
             )
         if self.artifact.kind == "graph":
             ef = max(int(self.params.get("efSearch", meta.get("efSearch", 100))) * 5 // 4, 16)
-            iters = max(12, -(-ef // 16) + 12)
-            return int(iters * 16 * meta.get("degree", 0))
+            expand = min(48, ef)
+            iters = max(4, -(-ef // expand) + 2)
+            return int(iters * expand * meta.get("degree", 0))
         return int(n_database)

@@ -96,10 +96,11 @@ def graph_artifact_search(
     # (beam 128 -> 0.938 recall vs FAISS efSearch=100 -> 0.916, BASELINE.md)
     ef = max(int(ef_search * 1.25), k, 16)
     ef = min(ef, n)
-    expand = 16
-    # enough iterations to expand the whole beam once, plus slack to escape
-    # entry-point neighbourhoods
-    iters = max(12, -(-ef // expand) + 12)
+    # wide expansion + few iterations: per-iteration fixed costs (gathers)
+    # dominate on TPU, so fewer/wider steps beat many narrow ones
+    # (measured: E=48/it=5 -> 3.1k QPS @ 0.944 vs E=16/it=20 -> 1.9k @ 0.937)
+    expand = min(48, ef)
+    iters = max(4, -(-ef // expand) + 2)
     return gops.graph_search(
         q,
         artifact.data["vectors"],
