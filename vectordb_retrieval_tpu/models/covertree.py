@@ -260,7 +260,7 @@ class CoverTree(BaseAlgorithm):
         metric: str = "l2",
         seed: int = 0,
         f_max: int = 4096,
-        expand: int = 32,
+        expand: int = 64,  # wide expansion amortises per-iteration gathers
         max_fanout: int = 64,
         **params: Any,
     ):
