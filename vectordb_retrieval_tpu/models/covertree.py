@@ -331,6 +331,7 @@ class CoverTree(BaseAlgorithm):
         q = jnp.asarray(padded)
         n = meta["n_vectors"]
         eff_k = min(k, n)
+        f_max = min(self.f_max, max(meta.get("n_nodes", n), 8))
         res = ctops.covertree_search(
             q,
             data["vectors"],
@@ -341,8 +342,8 @@ class CoverTree(BaseAlgorithm):
             data["has_children"],
             meta["root"],
             eff_k,
-            f_max=min(self.f_max, max(meta.get("n_nodes", n), 8)),
-            expand=self.expand,
+            f_max=f_max,
+            expand=min(self.expand, f_max),
         )
         out_d = np.asarray(res.dists)[:b].copy()
         out_i = np.asarray(res.ids)[:b].astype(np.int64)
