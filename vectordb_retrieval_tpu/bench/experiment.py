@@ -380,19 +380,28 @@ class ExperimentRunner:
                 )
                 return d[-1], i[-1]
 
-            compiled = jax.jit(stream)
-            warm = compiled(0)  # compile + warm-up (excluded)
-            np.asarray(warm[1])
-            t0 = time.perf_counter()
-            d_dev, i_dev = compiled(0)
-            ids_all = np.asarray(i_dev)  # [nb, batch, kk]
-            total = (time.perf_counter() - t0) / repeats
-            ids_flat = ids_all.reshape(padded_n, -1)[:n]
-            indices[:, : ids_flat.shape[1]] = ids_flat
-            query_times[:] = total / max(n, 1)
-            if hasattr(algorithm, "record_stream_ops"):
-                algorithm.record_stream_ops(n)
-        elif use_batch:
+            try:
+                compiled = jax.jit(stream)
+                warm = compiled(0)  # compile + warm-up (excluded)
+                np.asarray(warm[1])
+                t0 = time.perf_counter()
+                d_dev, i_dev = compiled(0)
+                ids_all = np.asarray(i_dev)  # [nb, batch, kk]
+                total = (time.perf_counter() - t0) / repeats
+                ids_flat = ids_all.reshape(padded_n, -1)[:n]
+                indices[:, : ids_flat.shape[1]] = ids_flat
+                query_times[:] = total / max(n, 1)
+                if hasattr(algorithm, "record_stream_ops"):
+                    algorithm.record_stream_ops(n)
+            except Exception as exc:
+                # oversized fused programs can exceed backend compile
+                # limits; fall back to the per-batch sync loop
+                logger.warning(
+                    "fused stream failed (%s); falling back to sync timing",
+                    exc,
+                )
+                fused = False
+        if not fused and use_batch:
             for start in range(0, n, batch):
                 end = min(start + batch, n)
                 t0 = time.perf_counter()
@@ -401,7 +410,7 @@ class ExperimentRunner:
                 indices[start:end] = ids
                 query_times[start:end] = elapsed / (end - start)
                 total += elapsed
-        else:
+        elif not fused:
             for i in range(n):
                 t0 = time.perf_counter()
                 _, ids = algorithm.search(queries[i], k)
