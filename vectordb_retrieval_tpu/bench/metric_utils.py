@@ -8,7 +8,7 @@ overlays algorithms, ``metrics_text_summary`` renders a text table.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Iterable, List, Optional
+from typing import Dict, Iterable, List, Optional
 
 import numpy as np
 

@@ -16,7 +16,7 @@ are processed in query chunks to bound the [B, k, G] bool tensor.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import argparse
 import os
 import random
-from typing import Iterable, Iterator, Tuple
+from typing import Iterator, Tuple
 
 
 def _sample_indices(total: int, sample: int, seed: int) -> set:

@@ -16,10 +16,9 @@ all loaders work offline against local files.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import numpy as np
 

@@ -17,7 +17,7 @@ Registry aliases keep reference YAML configs loadable verbatim:
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,6 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from vectordb_retrieval_tpu.ops import distances as dops
 
 
 class CoverTreeSearchResult(NamedTuple):

@@ -23,7 +23,7 @@ to max-dot on normalised data).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,6 @@ import numpy as np
 
 from vectordb_retrieval_tpu.ops import distances as dops
 from vectordb_retrieval_tpu.ops import pq as pqops
-from vectordb_retrieval_tpu.ops import sq as sqops
 
 
 def build_padded_lists(
