@@ -5,3 +5,7 @@ from vectordb_retrieval_tpu.parallel.sharded import (  # noqa: F401
     shard_database,
     sharded_exact_search,
 )
+from vectordb_retrieval_tpu.parallel.sharded_ivf import (  # noqa: F401
+    build_sharded_ivf_flat,
+    sharded_ivf_flat_search,
+)

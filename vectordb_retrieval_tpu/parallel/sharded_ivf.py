@@ -1,0 +1,140 @@
+"""Sharded IVF: one IVF partition per chip + collective top-k merge.
+
+The standard way distributed ANN systems scale IVF (one independent
+coarse-quantized index per shard of the database, query fans out to every
+shard, per-shard top-k lists merge) mapped onto the TPU mesh: each device
+holds its own ``[nlist, max_len]`` padded lists over its row shard, the
+probe-scan runs per device inside ``shard_map``, and the ``k x P``
+candidates merge via ``all_gather`` + top-k over ICI — identical collective
+shape to the sharded exact search (parallel/sharded.py).
+
+Slot ids are stored as *global* database row ids at build time, so no id
+translation is needed at merge.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vectordb_retrieval_tpu.ops import distances as dops
+from vectordb_retrieval_tpu.ops import ivf as ivfops
+from vectordb_retrieval_tpu.ops.kmeans import kmeans_assign, kmeans_fit
+
+
+def build_sharded_ivf_flat(
+    x: np.ndarray,
+    mesh: Mesh,
+    nlist: int,
+    seed: int = 123,
+    train_iters: int = 20,
+    axis: str = "db",
+):
+    """Per-shard IVF-Flat build; returns device-sharded arrays + metadata.
+
+    Rows are split contiguously across the mesh axis; each shard trains its
+    own ``nlist`` centroids (over its rows) and lays out padded lists whose
+    slot ids are global row indices.
+    """
+    n_shards = mesh.shape[axis]
+    n, d = x.shape
+    per = -(-n // n_shards)
+    cents, slots, vecs, sqns = [], [], [], []
+    max_len = 0
+    shard_layouts = []
+    for s in range(n_shards):
+        lo, hi = s * per, min((s + 1) * per, n)
+        xs = jnp.asarray(x[lo:hi])
+        local_nlist = min(nlist, max(hi - lo, 1))
+        centroids, _ = kmeans_fit(
+            xs, local_nlist, seed=seed + s, iters=train_iters
+        )
+        assign = np.asarray(kmeans_assign(xs, centroids))
+        slot_ids, _, _ = ivfops.build_padded_lists(assign, local_nlist)
+        slot_ids = np.where(slot_ids >= 0, slot_ids + lo, -1)  # -> global ids
+        shard_layouts.append((centroids, slot_ids, lo, hi))
+        max_len = max(max_len, slot_ids.shape[1])
+
+    # common static shapes across shards
+    def pad_lists(slot_ids, local_nlist):
+        out = np.full((nlist, max_len), -1, dtype=np.int32)
+        out[: slot_ids.shape[0], : slot_ids.shape[1]] = slot_ids
+        return out
+
+    cent_stack = np.zeros((n_shards, nlist, d), dtype=np.float32)
+    slot_stack = np.full((n_shards, nlist, max_len), -1, dtype=np.int32)
+    vec_stack = np.zeros((n_shards, nlist, max_len, d), dtype=np.float32)
+    for s, (centroids, slot_ids, lo, hi) in enumerate(shard_layouts):
+        c = np.asarray(centroids)
+        cent_stack[s, : c.shape[0]] = c
+        # unfilled centroid rows must never win the coarse top-k
+        if c.shape[0] < nlist:
+            cent_stack[s, c.shape[0]:] = 1e9
+        slot_stack[s] = pad_lists(slot_ids, c.shape[0])
+        safe = np.where(slot_stack[s] >= 0, slot_stack[s], 0)
+        vec_stack[s] = x[safe]
+    sqn_stack = np.sum(vec_stack * vec_stack, axis=-1)
+
+    sh = lambda a: jax.device_put(
+        jnp.asarray(a), NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1))))
+    )
+    return {
+        "centroids": sh(cent_stack),
+        "slot_ids": sh(slot_stack),
+        "list_vecs": sh(vec_stack),
+        "list_sqnorms": sh(sqn_stack),
+    }, {"nlist": nlist, "max_list_len": max_len, "n_shards": n_shards}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "metric", "mesh", "axis")
+)
+def sharded_ivf_flat_search(
+    queries: jax.Array,
+    data: dict,
+    k: int,
+    nprobe: int,
+    mesh: Mesh,
+    metric: str = "l2",
+    axis: str = "db",
+) -> Tuple[jax.Array, jax.Array]:
+    """Fan-out probe scan per shard + all_gather candidate merge."""
+
+    def local(q, cents, slots, vecs, sqns):
+        d, i = ivfops.ivf_flat_search(
+            q, cents[0], slots[0], vecs[0], sqns[0], k, nprobe, metric=metric
+        )
+        all_d = jax.lax.all_gather(d, axis)  # [P, B, k]
+        all_i = jax.lax.all_gather(i, axis)
+        p = all_d.shape[0]
+        b = q.shape[0]
+        cat_d = jnp.transpose(all_d, (1, 0, 2)).reshape(b, p * k)
+        cat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, p * k)
+        md, sel = dops.top_k_smallest(cat_d, k)
+        return md, jnp.take_along_axis(cat_i, sel, axis=1)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(axis, None, None),
+            P(axis, None, None),
+            P(axis, None, None, None),
+            P(axis, None, None),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(
+        queries,
+        data["centroids"],
+        data["slot_ids"],
+        data["list_vecs"],
+        data["list_sqnorms"],
+    )
