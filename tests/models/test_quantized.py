@@ -30,14 +30,44 @@ def _composite(index_key, metric="l2", nprobe=10):
 
 
 def test_parse_index_key():
-    assert parse_index_key("IVF100,Flat") == {"nlist": 100, "coding": "flat", "m": None}
-    assert parse_index_key("IVF256,PQ16") == {"nlist": 256, "coding": "pq", "m": 16}
-    assert parse_index_key("IVF256,SQ8") == {"nlist": 256, "coding": "sq8", "m": None}
-    assert parse_index_key("PQ8") == {"nlist": None, "coding": "pq", "m": 8}
-    assert parse_index_key("SQ8") == {"nlist": None, "coding": "sq8", "m": None}
-    for bad in ("Flat", "IVFx,Flat", "HNSW32", ""):
+    def spec(**kw):
+        out = {"nlist": None, "coding": "flat", "m": None, "opq": None}
+        out.update(kw)
+        return out
+
+    assert parse_index_key("IVF100,Flat") == spec(nlist=100)
+    assert parse_index_key("IVF256,PQ16") == spec(nlist=256, coding="pq", m=16)
+    assert parse_index_key("IVF256,SQ8") == spec(nlist=256, coding="sq8")
+    assert parse_index_key("PQ8") == spec(coding="pq", m=8)
+    assert parse_index_key("SQ8") == spec(coding="sq8")
+    assert parse_index_key("OPQ16,PQ16") == spec(coding="pq", m=16, opq=16)
+    assert parse_index_key("OPQ8,IVF32,PQ8") == spec(
+        nlist=32, coding="pq", m=8, opq=8
+    )
+    for bad in ("Flat", "IVFx,Flat", "HNSW32", "", "OPQ8,Flat2"):
         with pytest.raises(ValueError):
             parse_index_key(bad)
+
+
+def test_opq_improves_or_matches_pq(rng):
+    # anisotropic data: OPQ's rotation should help plain PQ
+    x = rng.standard_normal((2000, 32)).astype(np.float32)
+    x[:, :8] *= 6.0  # energy concentrated in a few dims
+    q = rng.standard_normal((32, 32)).astype(np.float32)
+    q[:, :8] *= 6.0
+    full = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(full, axis=1)[:, :10]
+
+    def run(key):
+        algo = _composite(key)
+        algo.build_index(x)
+        _, ids = algo.batch_search(q, 10)
+        return recall_at_k(gt, ids, 10)
+
+    r_pq = run("PQ16")
+    r_opq = run("OPQ16,PQ16")
+    assert r_opq >= r_pq - 0.02, (r_opq, r_pq)
+    assert r_opq > 0.5
 
 
 def test_ivf_flat_high_nprobe_is_exact(rng):

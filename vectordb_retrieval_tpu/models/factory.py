@@ -42,19 +42,26 @@ from vectordb_retrieval_tpu.ops.kmeans import (
 )
 
 _FACTORY_RE = re.compile(
-    r"^(?:IVF(?P<nlist>\d+),)?(?P<code>Flat|PQ(?P<m>\d+)|SQ8)$"
+    r"^(?:OPQ(?P<opq>\d+),)?(?:IVF(?P<nlist>\d+),)?(?P<code>Flat|PQ(?P<m>\d+)|SQ8)$"
 )
 
 
 def parse_index_key(index_key: str) -> Dict[str, Any]:
-    """Parse the factory grammar into {nlist?, coding, m?}."""
+    """Parse the factory grammar into {opq?, nlist?, coding, m?}.
+
+    Extends the reference's FAISS grammar with the standard ``OPQ{m},``
+    pre-transform prefix (learned rotation, ops/pq.opq_train)."""
     m = _FACTORY_RE.match(index_key.strip())
     if not m:
         raise ValueError(
             f"unsupported index_key {index_key!r}; expected "
-            "IVF{n},Flat | IVF{n},PQ{m} | IVF{n},SQ8 | PQ{m} | SQ8"
+            "[OPQ{m},][IVF{n},](Flat|PQ{m}|SQ8)"
         )
-    out: Dict[str, Any] = {"nlist": None, "coding": "flat", "m": None}
+    out: Dict[str, Any] = {
+        "nlist": None, "coding": "flat", "m": None, "opq": None,
+    }
+    if m.group("opq"):
+        out["opq"] = int(m.group("opq"))
     if m.group("nlist"):
         out["nlist"] = int(m.group("nlist"))
     code = m.group("code")
@@ -113,9 +120,28 @@ class FactoryIndexer(BaseIndexer):
             "nprobe": self.nprobe,
         }
 
+        rotation = None
+        if spec["opq"]:
+            # learn the OPQ rotation on a training sample, rotate the corpus
+            sample = training_sample(n, 256, self.seed ^ 0x09)
+            train_x = x if sample is None else x[sample]
+            rotation, _ = pqops.opq_train(
+                train_x, spec["opq"], seed=self.seed, iters=self.train_iters
+            )
+            x = jax.lax.dot_general(
+                x, rotation, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            meta["opq_m"] = spec["opq"]
+
         if spec["nlist"] is None:
-            return self._build_flat_coded(x, spec, meta)
-        return self._build_ivf(x, spec, meta)
+            art = self._build_flat_coded(x, spec, meta)
+        else:
+            art = self._build_ivf(x, spec, meta)
+        if rotation is not None:
+            art.data["opq_rotation"] = jax.block_until_ready(rotation)
+        return art
 
     # -- flat-coded (PQ{m} / SQ8 without IVF) ---------------------------
     def _build_flat_coded(
@@ -252,6 +278,13 @@ class ANNSearcher(BaseSearcher):
         meta = art.metadata
         if meta.get("normalize_queries"):
             q = dops.normalize(q)
+        rotation = art.data.get("opq_rotation")
+        if rotation is not None:  # OPQ pre-transform (queries follow corpus)
+            q = jax.lax.dot_general(
+                q, rotation, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         metric = self._score_metric()
         eff_k = min(k, meta["n_vectors"])
         kind = art.kind

@@ -52,6 +52,49 @@ def pq_train(
     return jax.vmap(fit)(sub)
 
 
+@functools.partial(jax.jit, static_argnames=("m", "ksub", "iters", "opq_iters"))
+def opq_train(
+    x: jax.Array,
+    m: int,
+    ksub: int = KSUB,
+    seed: int = 0,
+    iters: int = 12,
+    opq_iters: int = 6,
+) -> Tuple[jax.Array, jax.Array]:
+    """OPQ: learn rotation R + codebooks minimising quantisation error.
+
+    Alternating optimisation (Ge et al., OPQ): hold R, train/encode PQ on
+    ``x @ R``; hold codes, solve the orthogonal Procrustes problem
+    ``R = U V^T`` from ``svd(x^T x_hat)``. Everything stays on device —
+    the SVD is on the small ``[d, d]`` covariance.
+
+    Returns ``(R [d, d], codebooks [m, ksub, dsub])``.
+    """
+    n, d = x.shape
+    r = jnp.eye(d, dtype=jnp.float32)
+
+    def step(carry, _):
+        r, _ = carry
+        y = x @ r
+        cb = pq_train(y, m, ksub=ksub, seed=seed, iters=iters)
+        codes = pq_encode(y, cb)
+        y_hat = pq_reconstruct(codes, cb)
+        # Procrustes: argmin_R ||xR - y_hat||_F s.t. R orthogonal
+        cov = jax.lax.dot_general(
+            x, y_hat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        u, _, vt = jnp.linalg.svd(cov, full_matrices=False)
+        new_r = u @ vt
+        err = jnp.mean(jnp.sum((y - y_hat) ** 2, axis=1))
+        return (new_r, err), err
+
+    (r, _), errs = jax.lax.scan(step, (r, jnp.float32(0.0)), None, length=opq_iters)
+    cb = pq_train(x @ r, m, ksub=ksub, seed=seed, iters=iters)
+    return r, cb
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def pq_encode(
     x: jax.Array, codebooks: jax.Array, chunk: int = _ENCODE_CHUNK
