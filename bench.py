@@ -46,14 +46,15 @@ def main() -> None:
     )
     _ = np.asarray(jnp.sum(db))  # force upload
 
-    def stream(qs):
+    # db/sqn as ARGUMENTS (closure capture would embed them as HLO constants)
+    def stream(qs, db_a, sqn_a):
         def body(carry, qb):
             d, i = dops.exact_search(
                 qb + carry * jnp.float32(0.0),  # defeat loop hoisting
-                db,
+                db_a,
                 K,
                 metric="l2",
-                db_sqnorms=sqn,
+                db_sqnorms=sqn_a,
             )
             return jnp.max(d) * jnp.float32(1e-38), i
 
@@ -61,10 +62,10 @@ def main() -> None:
         return ids
 
     compiled = jax.jit(stream)
-    np.asarray(compiled(queries))  # compile + warm-up (excluded)
+    np.asarray(compiled(queries, db, sqn))  # compile + warm-up (excluded)
 
     start = time.perf_counter()
-    ids = np.asarray(compiled(queries))
+    ids = np.asarray(compiled(queries, db, sqn))
     elapsed = time.perf_counter() - start
 
     assert ids.shape == (REPEATS, BATCH, K)

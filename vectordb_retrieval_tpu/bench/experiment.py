@@ -359,15 +359,29 @@ class ExperimentRunner:
             nb = padded_n // batch
             q_dev = jnp.asarray(q_pad.reshape(nb, batch, queries.shape[1]))
 
-            def one_pass(jitter):
-                def body(_, qb):
-                    d, i = algorithm.device_kernel(qb + jitter, k)
-                    return None, (d, i)
+            # The index arrays MUST enter the jitted program as runtime
+            # arguments: closure-captured device arrays lower as embedded
+            # HLO constants, ballooning the program (multi-minute compiles,
+            # upload-size failures on GB-scale indexes).
+            art = getattr(algorithm, "artifact", None)
+            data_leaves, data_treedef = jax.tree_util.tree_flatten(
+                art.data if art is not None else {}
+            )
 
-                _, (d, i) = jax.lax.scan(body, None, q_dev)
-                return d, i
+            def stream(qs, leaves):
+                if art is not None:
+                    art.data = jax.tree_util.tree_unflatten(
+                        data_treedef, leaves
+                    )
 
-            def stream(_):
+                def one_pass(jitter):
+                    def body(_, qb):
+                        d, i = algorithm.device_kernel(qb + jitter, k)
+                        return None, (d, i)
+
+                    _, (d, i) = jax.lax.scan(body, None, qs)
+                    return d, i
+
                 def rep_body(carry, _x):
                     # carry-derived jitter (always zero in value, unknown to
                     # the compiler) defeats loop-invariant hoisting
@@ -382,10 +396,10 @@ class ExperimentRunner:
 
             try:
                 compiled = jax.jit(stream)
-                warm = compiled(0)  # compile + warm-up (excluded)
+                warm = compiled(q_dev, data_leaves)  # compile+warm (excluded)
                 np.asarray(warm[1])
                 t0 = time.perf_counter()
-                d_dev, i_dev = compiled(0)
+                d_dev, i_dev = compiled(q_dev, data_leaves)
                 ids_all = np.asarray(i_dev)  # [nb, batch, kk]
                 total = (time.perf_counter() - t0) / repeats
                 ids_flat = ids_all.reshape(padded_n, -1)[:n]
@@ -401,6 +415,11 @@ class ExperimentRunner:
                     exc,
                 )
                 fused = False
+            finally:
+                if art is not None:
+                    art.data = jax.tree_util.tree_unflatten(
+                        data_treedef, data_leaves
+                    )
         if not fused and use_batch:
             for start in range(0, n, batch):
                 end = min(start + batch, n)
