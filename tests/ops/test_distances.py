@@ -72,3 +72,35 @@ def test_k_larger_than_n_raises(rng):
     q = rng.standard_normal((2, 4)).astype(np.float32)
     with pytest.raises(ValueError):
         dops.exact_search(jnp.asarray(q), jnp.asarray(x), 10)
+
+
+def test_blockmin_path_matches_dense(rng):
+    """Large-N blockmin certificate path: exact vs dense oracle."""
+    x = rng.standard_normal((2000, 24)).astype(np.float32)
+    q = rng.standard_normal((16, 24)).astype(np.float32)
+    for metric in ("l2", "ip"):
+        bd, bi = dops._exact_search_blockmin(
+            jnp.asarray(q), jnp.asarray(x), None, 15, metric, 512
+        )
+        dd, di = dops._exact_search_dense(
+            jnp.asarray(q), jnp.asarray(x), None, 15, metric
+        )
+        # compare result SETS via distances (tie-aware)
+        full = (
+            ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+            if metric == "l2" else -(q @ x.T)
+        )
+        got = np.take_along_axis(full, np.asarray(bi), 1)
+        want = np.sort(full, axis=1)[:, :15]
+        np.testing.assert_allclose(np.sort(got, 1), want, rtol=1e-3, atol=1e-4)
+
+
+def test_blockmin_ragged_padding(rng):
+    x = rng.standard_normal((1003, 8)).astype(np.float32)
+    q = rng.standard_normal((4, 8)).astype(np.float32)
+    d, i = dops._exact_search_blockmin(
+        jnp.asarray(q), jnp.asarray(x), None, 20, "l2", 512
+    )
+    i = np.asarray(i)
+    assert (i >= 0).all() and (i < 1003).all()
+    assert np.all(np.isfinite(np.asarray(d)))
