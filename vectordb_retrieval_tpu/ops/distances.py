@@ -32,8 +32,10 @@ import jax.numpy as jnp
 METRICS = ("l2", "ip", "cosine")
 
 # Below this many database rows the full [B, N] distance matrix is
-# materialised in one shot; above it we stream chunks through lax.scan.
-_DENSE_PATH_MAX_ROWS = 262_144
+# materialised in one shot; above it the blockmin-certificate streaming path
+# wins (fused block reduction + candidate rescore — measured faster from
+# ~50k rows up: 57k vs 45k QPS at 100k x 384d, 10k vs 2.2k QPS at 1M x 128d).
+_DENSE_PATH_MAX_ROWS = 32_768
 # Chunk of database rows per scan step: 64k rows x 128 lanes fits VMEM-sized
 # working sets comfortably and keeps the MXU busy.
 DEFAULT_CHUNK_ROWS = 65_536
