@@ -36,9 +36,10 @@ METRICS = ("l2", "ip", "cosine")
 # wins (fused block reduction + candidate rescore — measured faster from
 # ~50k rows up: 57k vs 45k QPS at 100k x 384d, 10k vs 2.2k QPS at 1M x 128d).
 _DENSE_PATH_MAX_ROWS = 32_768
-# Chunk of database rows per scan step: 64k rows x 128 lanes fits VMEM-sized
-# working sets comfortably and keeps the MXU busy.
-DEFAULT_CHUNK_ROWS = 65_536
+# Chunk of database rows per scan step for the streaming paths. Bigger
+# chunks amortise per-step scan overhead (the [B, chunk] distance block is
+# transient); 256k rows x 256 queries = 268 MB, comfortably inside HBM.
+DEFAULT_CHUNK_ROWS = 262_144
 
 
 def _check_metric(metric: str) -> None:
