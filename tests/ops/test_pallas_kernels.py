@@ -25,3 +25,23 @@ def test_pallas_assign_ragged_rows(rng):
     a, d = kmeans_assign_fused(x, c)
     assert a.shape == (1030,) and d.shape == (1030,)
     assert int(jnp.max(a)) < 16 and int(jnp.min(a)) >= 0
+
+
+def test_pallas_blockmin_matches_oracle(rng):
+    from vectordb_retrieval_tpu.ops.pallas_kernels import (
+        _BM_TILE,
+        blockmin_pallas,
+    )
+
+    n, d, w = 4096, 32, 8
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((8, d)).astype(np.float32))
+    bm = np.asarray(blockmin_pallas(q, x, w=w, interpret=True))
+    tile = min(_BM_TILE, n)
+    seg = tile // w
+    full = ((np.asarray(q)[:, None, :] - np.asarray(x)[None, :, :]) ** 2).sum(-1)
+    for g in range(0, bm.shape[1], 97):  # spot-check blocks
+        ti, j = g // seg, g % seg
+        rows = [ti * tile + j + i * seg for i in range(w)]
+        want = full[:, rows].min(-1)
+        np.testing.assert_allclose(bm[:, g], want, rtol=1e-3, atol=1e-3)

@@ -88,3 +88,87 @@ def assign_pallas(
 def kmeans_assign_fused(points: jax.Array, centroids: jax.Array):
     """Dispatch: Pallas on TPU, interpreter elsewhere (tests)."""
     return assign_pallas(points, centroids, interpret=not _on_tpu())
+
+
+# ---- fused distance + per-block-min scan (exact search stage 1) ----------
+#
+# Status: correct and VMEM-resident, but NOT wired into the default exact
+# path — XLA already fuses the min-reduction into the distance matmul
+# consumer (measured: XLA stage-1 inside _exact_search_blockmin ~= 8 ms at
+# 1M x 128 with HIGH precision vs ~34 ms here), because Mosaic only lowers
+# DEFAULT/HIGHEST dot precisions and HIGHEST costs ~2x HIGH. Revisit when
+# Mosaic grows HIGH-precision dots or bf16 block minima prove certificate-
+# safe. Kept (with tests) as the Pallas reference implementation.
+
+_BM_TILE = 2048
+
+
+def _blockmin_kernel(q_ref, qn_ref, db_ref, bm_ref, *, w: int):
+    """One db tile: dist = |q|^2 + |x|^2 - 2 q.x -> per-block minima.
+
+    The [B, T] distance block lives only in VMEM; HBM sees just the
+    [B, T/w] minima — the whole point of fusing stage 1 of the blockmin
+    exact search. Mosaic cannot reshape a 2-D vector to 3-D, so blocks are
+    *interleaved segments*: block j of a tile holds columns
+    ``{j, j + T/w, ..., j + (w-1)*T/w}`` and the min is a fold of w static
+    contiguous slices (pure VPU). Stage 2 reconstructs member row ids as
+    ``tile_start + j + i*(T/w)``.
+
+    Row norms are computed in-kernel; callers pad the database with
+    large-constant rows so padding can never win a minimum.
+    """
+    q = q_ref[:]
+    db = db_ref[:]
+    # Mosaic supports only DEFAULT/HIGHEST dot precisions; HIGHEST keeps the
+    # block minima accurate enough that the certificate (stage-2 rescore)
+    # never misses a candidate block.
+    dots = jax.lax.dot_general(
+        q,
+        db,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    xn = jnp.sum(db * db, axis=1, dtype=jnp.float32)
+    dist = qn_ref[:] + xn[None, :] - 2.0 * dots
+    t = dist.shape[1]
+    seg = t // w
+    bm = dist[:, 0:seg]
+    for i in range(1, w):
+        bm = jnp.minimum(bm, dist[:, i * seg : (i + 1) * seg])
+    bm_ref[:] = bm
+
+
+@functools.partial(jax.jit, static_argnames=("w", "interpret"))
+def blockmin_pallas(
+    queries: jax.Array,  # [B, d]
+    database: jax.Array,  # [N, d] (N % _BM_TILE == 0; padding rows = 1e6)
+    w: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-block distance minima ``[B, N/w]`` in one fused Pallas pass.
+
+    Block membership is interleaved within each tile (see kernel docstring):
+    ``rows(block g) = (g // seg)*TILE + (g % seg) + i*seg`` with
+    ``seg = TILE/w``.
+    """
+    b, d = queries.shape
+    n = database.shape[0]
+    tile = min(_BM_TILE, n)
+    n_tiles = n // tile
+    qn = jnp.sum(queries * queries, axis=1, dtype=jnp.float32)[:, None]
+
+    return pl.pallas_call(
+        functools.partial(_blockmin_kernel, w=w),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (b, tile // w), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n // w), jnp.float32),
+        interpret=interpret,
+    )(queries, qn, database)
