@@ -202,12 +202,19 @@ def pad_batch(queries: np.ndarray, buckets: Tuple[int, ...] = ()) -> Tuple[np.nd
 
 
 def timed_blocking(fn: Callable[[], Any]) -> Tuple[Any, float]:
-    """Run ``fn``, block until device work is done, return (result, seconds).
+    """Run ``fn``, materialise all device results, return (result, seconds).
 
-    Honest timing under JAX async dispatch (SURVEY.md section 7 hard-part (e)):
-    dispatch is not completion, so we ``block_until_ready`` inside the timer.
+    Honest timing under JAX async dispatch (SURVEY.md section 7 hard-part
+    (e)): dispatch is not completion, and on some runtimes even
+    ``block_until_ready`` returns before device work finishes — only host
+    materialisation is trustworthy, so results are pulled with
+    ``np.asarray`` inside the timer.
     """
+    import numpy as _np
+
     start = time.perf_counter()
     out = fn()
-    out = jax.block_until_ready(out)
+    out = jax.tree_util.tree_map(
+        lambda x: _np.asarray(x) if hasattr(x, "device") else x, out
+    )
     return out, time.perf_counter() - start
