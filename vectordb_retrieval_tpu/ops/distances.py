@@ -408,7 +408,10 @@ def exact_search(
         return _exact_search_dense(
             queries, database, db_sqnorms, fetch_k, metric, refine_to
         )
-    # large N: blockmin certificate path (exact + rescored by construction)
+    # large N: blockmin certificate path (exact + rescored by construction).
+    # Bound the transient [B, chunk] distance block to ~256 MB.
+    b = queries.shape[0]
+    budget = max(4096, (1 << 26) // max(b, 1))
     return _exact_search_blockmin(
-        queries, database, db_sqnorms, k, metric, chunk_rows
+        queries, database, db_sqnorms, k, metric, min(chunk_rows, budget)
     )

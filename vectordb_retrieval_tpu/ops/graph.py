@@ -31,6 +31,8 @@ import numpy as np
 
 from vectordb_retrieval_tpu.ops import distances as dops
 
+# 1024 keeps the kNN-graph build's per-batch candidate rescore
+# ((k+slack)*w rows per query) within a sane transient footprint
 _BUILD_BATCH = 1024
 
 
