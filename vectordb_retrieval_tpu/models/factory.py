@@ -95,6 +95,7 @@ class FactoryIndexer(BaseIndexer):
         nprobe: int = 10,
         train_iters: int = 20,
         seed: int = 123,
+        list_dtype: str = "bf16",
         **params: Any,
     ):
         super().__init__(metric=metric, **params)
@@ -102,6 +103,9 @@ class FactoryIndexer(BaseIndexer):
         self.nprobe = int(nprobe)
         self.train_iters = int(train_iters)
         self.seed = int(seed)
+        if list_dtype not in ("bf16", "f32"):
+            raise ValueError("list_dtype must be 'bf16' or 'f32'")
+        self.list_dtype = list_dtype
 
     def build(self, vectors: np.ndarray, dimension: int) -> IndexArtifact:
         spec = parse_index_key(self.index_key)
@@ -203,8 +207,15 @@ class FactoryIndexer(BaseIndexer):
 
         if spec["coding"] == "flat":
             list_vecs = _gather_slots(x, slot_ids_np)
-            data["list_vecs"] = list_vecs
             data["list_sqnorms"] = jnp.sum(list_vecs * list_vecs, axis=-1)
+            if self.list_dtype == "bf16":
+                # bf16 list copies halve the per-probe gather traffic (the
+                # bandwidth cost of IVF-Flat); the f32 rows stay for the
+                # exact rescoring pass (ops/ivf.ivf_flat_search)
+                data["list_vecs"] = list_vecs.astype(jnp.bfloat16)
+                data["full_vectors"] = x
+            else:
+                data["list_vecs"] = list_vecs
             kind = "ivf_flat"
         elif spec["coding"] == "pq":
             m = spec["m"]
@@ -308,6 +319,7 @@ class ANNSearcher(BaseSearcher):
             dists, ids = ivfops.ivf_flat_search(
                 q, d["centroids"], d["slot_ids"], d["list_vecs"],
                 d["list_sqnorms"], eff_k, self._nprobe(), metric=metric,
+                full_vectors=d.get("full_vectors"),
             )
         elif kind == "ivf_pq":
             dists, ids = ivfops.ivf_pq_search(

@@ -40,13 +40,23 @@ def _flatten(data: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
         elif val is None:
             continue
         else:
-            flat[full] = np.asarray(val)
+            arr = np.asarray(val)
+            if arr.dtype.name == "bfloat16":  # npz can't store ml_dtypes
+                arr = arr.view(np.uint16)
+                flat[full + ".bf16"] = arr
+            else:
+                flat[full] = arr
     return flat
 
 
 def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for key, val in flat.items():
+        if key.endswith(".bf16"):
+            import ml_dtypes
+
+            key = key[: -len(".bf16")]
+            val = val.view(ml_dtypes.bfloat16)
         parts = key.split("/")
         node = out
         for p in parts[:-1]:

@@ -108,9 +108,18 @@ def build_knn_graph(
     for start, overlap in zip(starts, overlaps):
         end = start + batch
         q = vectors[start:end]
-        d, ids = dops.exact_search(
-            q, vectors, n_cand + 1, metric="l2", db_sqnorms=sqn
-        )
+        # dense kernel directly: graph candidates don't need the exact
+        # rescoring pass (adjacency is diversified/pruned anyway), and the
+        # blockmin path's per-query candidate rescore is wasteful at the
+        # build's large query batches
+        if n <= 262_144:
+            d, ids = dops._exact_search_dense(
+                q, vectors, sqn, n_cand + 1, "l2", None
+            )
+        else:
+            d, ids = dops.exact_search(
+                q, vectors, n_cand + 1, metric="l2", db_sqnorms=sqn
+            )
         ids = np.asarray(ids)
         d = np.asarray(d)
         # drop the self column (nearest hit; ties may hide it -> drop last)

@@ -94,20 +94,31 @@ def ivf_flat_search(
     queries: jax.Array,
     centroids: jax.Array,
     slot_ids: jax.Array,
-    list_vecs: jax.Array,
+    list_vecs: jax.Array,  # may be bf16 (halves HBM gather traffic)
     list_sqnorms: jax.Array,
     k: int,
     nprobe: int,
     metric: str = "l2",
+    full_vectors: jax.Array = None,  # f32 rows for the exact rescoring pass
 ) -> Tuple[jax.Array, jax.Array]:
+    """IVF-Flat probe scan.
+
+    When ``list_vecs`` is bf16 (build default), candidate scoring runs on the
+    compressed copies — the per-probe list gather is the bandwidth cost of
+    this search — and the final ``k+8`` candidates are rescored exactly
+    against the f32 ``full_vectors``, so bf16 noise cannot perturb results.
+    """
     probes = _coarse_probes(queries, centroids, nprobe)
     qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
+    compressed = list_vecs.dtype != jnp.float32 and full_vectors is not None
+    fetch_k = min(k + 8, k * 2) if compressed else k
+    q_cast = queries.astype(list_vecs.dtype)
 
     def score(lists):
         vecs = list_vecs[lists]  # [B, L, d]
         ids = slot_ids[lists]  # [B, L]
         dots = jnp.einsum(
-            "bld,bd->bl", vecs, queries, preferred_element_type=jnp.float32
+            "bld,bd->bl", vecs, q_cast, preferred_element_type=jnp.float32
         )
         if metric == "l2":
             dist = qn[:, None] + list_sqnorms[lists] - 2.0 * dots
@@ -115,7 +126,14 @@ def ivf_flat_search(
             dist = -dots
         return dist, ids
 
-    return _probe_scan(queries, centroids, probes, k, score)
+    dists, ids = _probe_scan(queries, centroids, probes, fetch_k, score)
+    if compressed:
+        cd = dops.rescore(queries, full_vectors, ids, metric)
+        vals, sel = dops.top_k_smallest(cd, k)
+        ids = jnp.take_along_axis(ids, sel, axis=1)
+        ids = jnp.where(jnp.isfinite(vals), ids, -1)
+        return vals, ids
+    return dists, ids
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
