@@ -64,10 +64,18 @@ class GraphIndexer(BaseIndexer):
         # so clustered corpora stay reachable (pick_entry_points docstring)
         n_entry = self.n_entry or min(2048, max(16, n // 64))
         entries = gops.pick_entry_points(x, min(n_entry, n), seed=self.seed)
+        # NOTE: bf16 scoring copies were tried and reverted — TPU gathers of
+        # sub-32-bit rows fall off a performance cliff (measured ~100x
+        # slower beams); f32 rows + precomputed norms it is.
         return IndexArtifact(
             "graph",
             jax.block_until_ready(
-                {"vectors": x, "adjacency": adjacency, "entry_ids": entries}
+                {
+                    "vectors": x,
+                    "sqnorms": dops.sq_norms(x),
+                    "adjacency": adjacency,
+                    "entry_ids": entries,
+                }
             ),
             {
                 "metric": self.metric,
@@ -101,17 +109,28 @@ def graph_artifact_search(
     # (measured: E=48/it=5 -> 3.1k QPS @ 0.944 vs E=16/it=20 -> 1.9k @ 0.937)
     expand = min(48, ef)
     iters = max(4, -(-ef // expand) + 2)
-    return gops.graph_search(
+    fetch_k = min(k + 8, ef)
+    dists, ids = gops.graph_search(
         q,
         artifact.data["vectors"],
         artifact.data["adjacency"],
         artifact.data["entry_ids"],
-        k,
+        fetch_k,
         ef=ef,
         expand=expand,
         iters=iters,
         metric=metric,
+        sqnorms=artifact.data.get("sqnorms"),
     )
+    full = artifact.data.get("full_vectors")
+    if full is not None and artifact.data["vectors"].dtype != jnp.float32:
+        # exact rescoring of the bf16-scored candidates
+        cd = dops.rescore(q, full, ids, "l2" if metric == "l2" else "ip")
+        vals, sel = dops.top_k_smallest(cd, min(k, fetch_k))
+        ids = jnp.take_along_axis(ids, sel, axis=1)
+        ids = jnp.where(jnp.isfinite(vals), ids, -1)
+        return vals, ids
+    return dists[:, :k], ids[:, :k]
 
 
 class HNSW(CompositeAlgorithm):

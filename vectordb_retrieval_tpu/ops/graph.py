@@ -178,18 +178,26 @@ def pick_entry_points(vectors: jax.Array, n_entry: int, seed: int = 0) -> jax.Ar
 
 
 def _batch_dists(
-    queries: jax.Array, vectors: jax.Array, ids: jax.Array, metric: str
+    queries: jax.Array,
+    vectors: jax.Array,
+    sqnorms: jax.Array,
+    ids: jax.Array,
+    metric: str,
 ) -> jax.Array:
-    """Distances from each query to its own id list: ``[B, C]``."""
+    """Distances from each query to its own id list: ``[B, C]``.
+
+    ``vectors`` may be bf16 (the beam's vector gathers are its bandwidth
+    cost); routing decisions tolerate bf16 noise and the caller rescores
+    the final candidates exactly. Row norms come precomputed in f32."""
     safe = jnp.where(ids >= 0, ids, 0)
     vecs = vectors[safe]  # [B, C, d]
+    q_cast = queries.astype(vectors.dtype)
     dots = jnp.einsum(
-        "bcd,bd->bc", vecs, queries, preferred_element_type=jnp.float32
+        "bcd,bd->bc", vecs, q_cast, preferred_element_type=jnp.float32
     )
     if metric == "l2":
         qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
-        vn = jnp.sum(vecs * vecs, axis=-1, dtype=jnp.float32)
-        d = qn[:, None] + vn - 2.0 * dots
+        d = qn[:, None] + sqnorms[safe] - 2.0 * dots
     else:
         d = -dots
     return jnp.where(ids >= 0, d, jnp.inf)
@@ -200,7 +208,7 @@ def _batch_dists(
 )
 def graph_search(
     queries: jax.Array,
-    vectors: jax.Array,
+    vectors: jax.Array,  # possibly bf16 scoring copies
     adjacency: jax.Array,  # [N, R]
     entry_ids: jax.Array,  # [E]
     k: int,
@@ -208,17 +216,21 @@ def graph_search(
     expand: int = 4,
     iters: int = 12,
     metric: str = "l2",
+    sqnorms: jax.Array = None,  # f32 row norms (l2)
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched beam search; returns ``(dists [B, k], ids [B, k])``."""
     b = queries.shape[0]
     r = adjacency.shape[1]
     e = entry_ids.shape[0]
     big = jnp.inf
+    if sqnorms is None:
+        v32 = vectors.astype(jnp.float32)
+        sqnorms = jnp.sum(v32 * v32, axis=-1)
 
     # Seed beam with entry points (top-ef by distance when there are more
     # entries than beam slots — the coarse-quantizer routing step).
     seed_ids = jnp.broadcast_to(entry_ids[None, :], (b, e)).astype(jnp.int32)
-    seed_d = _batch_dists(queries, vectors, seed_ids, metric)
+    seed_d = _batch_dists(queries, vectors, sqnorms, seed_ids, metric)
     if e > ef:
         neg, sel = jax.lax.top_k(-seed_d, ef)
         seed_d = -neg
@@ -250,7 +262,7 @@ def graph_search(
         neigh = jnp.where(
             jnp.repeat(sel_valid, r, axis=1) & (neigh >= 0), neigh, -1
         )
-        nd = _batch_dists(queries, vectors, neigh, metric)
+        nd = _batch_dists(queries, vectors, sqnorms, neigh, metric)
         # merge + dedup (expanded-first so flags survive)
         cat_ids = jnp.concatenate([beam_ids, neigh], axis=1)
         cat_d = jnp.concatenate([beam_d, nd], axis=1)
