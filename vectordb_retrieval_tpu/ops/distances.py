@@ -139,9 +139,15 @@ def take_rows_onehot(
     return acc
 
 
-# one-hot gather costs O(R * N) MXU flops — a win for small candidate sets
-# (it avoids the TPU gather slow path) but quadratic-ish for large ones
+# one-hot gather costs O(R * N * d) MXU flops vs a plain HLO gather's fixed
+# ~ms dispatch overhead plus ~0.2 us/row: only profitable when BOTH the
+# candidate set and the table are small
 _ONEHOT_GATHER_MAX_ROWS = 8192
+_ONEHOT_GATHER_MAX_TABLE = 32_768
+
+
+def _use_onehot(n_rows: int, n_table: int) -> bool:
+    return n_rows <= _ONEHOT_GATHER_MAX_ROWS and n_table <= _ONEHOT_GATHER_MAX_TABLE
 
 
 def rescore(
@@ -153,7 +159,7 @@ def rescore(
     b, kk = ids.shape
     safe = jnp.where(ids >= 0, ids, 0)
     flat = safe.reshape(-1)
-    if flat.shape[0] <= _ONEHOT_GATHER_MAX_ROWS:
+    if _use_onehot(flat.shape[0], database.shape[0]):
         vecs = take_rows_onehot(database, flat)
     else:
         vecs = jnp.take(database, flat, axis=0)
@@ -179,7 +185,7 @@ def rescore_l2(
     b, kk = ids.shape
     safe = jnp.where(ids >= 0, ids, 0)
     flat = safe.reshape(-1)
-    if flat.shape[0] <= _ONEHOT_GATHER_MAX_ROWS:
+    if _use_onehot(flat.shape[0], database.shape[0]):
         vecs = take_rows_onehot(database, flat)
     else:
         vecs = jnp.take(database, flat, axis=0)
