@@ -66,3 +66,35 @@ def test_sharded_flat_persistence_reshards(tmp_path, rng):
     algo2.load_index(str(tmp_path / "a"), {})
     d1, i1 = algo2.batch_search(q, 5)
     assert np.array_equal(i0, i1)
+
+
+def test_sharded_flat_through_experiment_runner(tmp_path):
+    """Fused timed-search path over a shard_map kernel (8 virtual devices)."""
+    from vectordb_retrieval_tpu.bench.config import ExperimentConfig
+    from vectordb_retrieval_tpu.bench.experiment import ExperimentRunner
+
+    cfg = ExperimentConfig(
+        dataset="random",
+        data_dir=str(tmp_path / "d"),
+        dataset_options={
+            "dimensions": 16, "train_size": 256, "test_size": 16,
+            "ground_truth_k": 10, "seed": 2, "use_cache": False,
+        },
+        n_queries=8,
+        topk=5,
+        repeat=2,
+        algorithms={
+            "sharded_exact": {
+                "indexer": {"type": "ShardedFlatIndexer"},
+                "searcher": {"type": "LinearSearcher"},
+                "metric": "l2",
+            }
+        },
+    )
+    runner = ExperimentRunner(cfg, output_dir=str(tmp_path / "o"))
+    runner.load_dataset()
+    results = runner.run()
+    m = results["sharded_exact"]
+    assert "error" not in m, m
+    assert m["recall"] == 1.0
+    assert m["qps"] > 0
