@@ -60,3 +60,15 @@ def test_hnsw_cosine(rng):
     algo.build_index(x)
     _, ids = algo.batch_search(q, 10)
     assert recall_at_k(gt, ids, 10) > 0.85
+
+
+def test_graph_persistence_roundtrip(tmp_path, rng):
+    x, q, _ = _data(rng, n=400)
+    algo = get_algorithm_instance("HNSW", 32, M=8, efSearch=64)
+    algo.build_index(x)
+    d0, i0 = algo.batch_search(q, 5)
+    algo.save_index(str(tmp_path / "g"), {"dataset_fingerprint": "f"})
+    algo2 = get_algorithm_instance("HNSW", 32, M=8, efSearch=64)
+    algo2.load_index(str(tmp_path / "g"), {"dataset_fingerprint": "f"})
+    d1, i1 = algo2.batch_search(q, 5)
+    assert np.array_equal(i0, i1)

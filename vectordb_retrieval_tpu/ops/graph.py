@@ -232,7 +232,7 @@ def graph_search(
     seed_ids = jnp.broadcast_to(entry_ids[None, :], (b, e)).astype(jnp.int32)
     seed_d = _batch_dists(queries, vectors, sqnorms, seed_ids, metric)
     if e > ef:
-        neg, sel = jax.lax.top_k(-seed_d, ef)
+        neg, sel = jax.lax.approx_max_k(-seed_d, ef, recall_target=1.0)
         seed_d = -neg
         seed_ids = jnp.take_along_axis(seed_ids, sel, axis=1)
         e = ef
@@ -249,7 +249,8 @@ def graph_search(
         beam_ids, beam_d, beam_exp = state
         # pick W best unexpanded entries
         sel_d = jnp.where(beam_exp | (beam_ids < 0), big, beam_d)
-        _, sel = jax.lax.top_k(-sel_d, expand)  # [B, W] beam positions
+        # approx_max_k(rt=1.0): bit-exact, faster than TopK on wide rows
+        _, sel = jax.lax.approx_max_k(-sel_d, expand, recall_target=1.0)
         sel_ids = jnp.take_along_axis(beam_ids, sel, axis=1)
         sel_valid = jnp.isfinite(jnp.take_along_axis(sel_d, sel, axis=1))
         # mark them expanded
@@ -288,7 +289,7 @@ def graph_search(
             axis=1,
         )
         s_d = jnp.where(dup | (s_ids < 0), big, s_d)
-        new_d, pos = jax.lax.top_k(-s_d, ef)
+        new_d, pos = jax.lax.approx_max_k(-s_d, ef, recall_target=1.0)
         new_d = -new_d
         new_ids = jnp.take_along_axis(s_ids, pos, axis=1)
         new_exp = jnp.take_along_axis(s_exp, pos, axis=1)
@@ -299,6 +300,6 @@ def graph_search(
         body, (beam_ids, beam_d, beam_exp), None, length=iters
     )
     kk = min(k, ef)
-    out_d, pos = jax.lax.top_k(-beam_d, kk)
+    out_d, pos = jax.lax.approx_max_k(-beam_d, kk, recall_target=1.0)
     out_ids = jnp.take_along_axis(beam_ids, pos, axis=1)
     return -out_d, out_ids
