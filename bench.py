@@ -62,7 +62,12 @@ def main() -> None:
         return ids
 
     compiled = jax.jit(stream)
-    np.asarray(compiled(queries, db, sqn))  # compile + warm-up (excluded)
+    try:
+        np.asarray(compiled(queries, db, sqn))  # compile + warm-up (excluded)
+    except Exception as exc:  # transient remote-compile flake: retry once
+        if "remote_compile" not in str(exc):
+            raise
+        np.asarray(compiled(queries, db, sqn))
 
     start = time.perf_counter()
     ids = np.asarray(compiled(queries, db, sqn))

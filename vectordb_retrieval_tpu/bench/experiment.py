@@ -196,9 +196,22 @@ class ExperimentRunner:
         for name, algo in self.algorithms.items():
             algo_config = self.config.algorithms.get(name, {})
             try:
-                metrics, indices, query_times = self._run_single_algorithm(
-                    name, algo, algo_config, queries
-                )
+                try:
+                    metrics, indices, query_times = self._run_single_algorithm(
+                        name, algo, algo_config, queries
+                    )
+                except Exception as exc:
+                    # remote-compile services flake transiently (HTTP 5xx /
+                    # closed-body); one retry rescues the whole row
+                    if "remote_compile" not in str(exc):
+                        raise
+                    logger.warning(
+                        "%s hit a transient compile failure (%s); retrying",
+                        name, exc,
+                    )
+                    metrics, indices, query_times = self._run_single_algorithm(
+                        name, algo, algo_config, queries
+                    )
                 if metrics.get("status") == "build_only":
                     self.results[name] = metrics
                 else:
