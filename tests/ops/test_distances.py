@@ -104,3 +104,45 @@ def test_blockmin_ragged_padding(rng):
     i = np.asarray(i)
     assert (i >= 0).all() and (i < 1003).all()
     assert np.all(np.isfinite(np.asarray(d)))
+
+
+def test_blockmin_pathological_ties(rng):
+    """Massive exact ties: returned distances must still be the true k
+    smallest (id choice among equals is unspecified, as in the reference)."""
+    base = rng.standard_normal((8, 16)).astype(np.float32)
+    x = np.repeat(base, 200, axis=0)  # 1600 rows, only 8 distinct points
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    d, i = dops._exact_search_blockmin(
+        jnp.asarray(q), jnp.asarray(x), None, 250, "l2", 512
+    )
+    d, i = np.asarray(d), np.asarray(i)
+    full = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    want = np.sort(full, axis=1)[:, :250]
+    np.testing.assert_allclose(np.sort(d, 1), want, rtol=1e-3, atol=1e-3)
+    # no duplicate ids per row
+    for row in i:
+        assert len(set(row.tolist())) == 250
+
+
+def test_exact_paths_agree_randomized(rng):
+    """Randomized shapes: dense / streamed / blockmin return the same
+    result sets (distance-compared)."""
+    for _ in range(3):
+        n = int(rng.integers(600, 3000))
+        d = int(rng.integers(8, 48))
+        k = int(rng.integers(1, 24))
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        q = rng.standard_normal((5, d)).astype(np.float32)
+        xd, qd = jnp.asarray(x), jnp.asarray(q)
+        full = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+        want = np.sort(full, axis=1)[:, :k]
+        for fn in (
+            lambda: dops._exact_search_dense(qd, xd, None, k, "l2", None),
+            lambda: dops._exact_search_streamed(qd, xd, None, k, "l2", 512),
+            lambda: dops._exact_search_blockmin(qd, xd, None, k, "l2", 512),
+        ):
+            _, ids = fn()
+            got = np.take_along_axis(full, np.asarray(ids), 1)
+            np.testing.assert_allclose(
+                np.sort(got, 1), want, rtol=1e-3, atol=1e-3
+            )
