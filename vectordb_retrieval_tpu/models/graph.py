@@ -44,6 +44,8 @@ class GraphIndexer(BaseIndexer):
         efSearch: int = 100,
         n_entry: int = 0,
         seed: int = 42,
+        nbr_table: str = "auto",  # auto | on | off
+        nbr_table_budget_mb: int = 2048,
         **params: Any,
     ):
         super().__init__(metric=metric, **params)
@@ -52,6 +54,8 @@ class GraphIndexer(BaseIndexer):
         self.efSearch = int(efSearch)
         self.n_entry = int(n_entry)  # 0 = auto (scales with N)
         self.seed = int(seed)
+        self.nbr_table = str(nbr_table)
+        self.nbr_table_budget_mb = int(nbr_table_budget_mb)
 
     def build(self, vectors: np.ndarray, dimension: int) -> IndexArtifact:
         x = jnp.asarray(np.ascontiguousarray(vectors, dtype=np.float32))
@@ -60,23 +64,33 @@ class GraphIndexer(BaseIndexer):
         n = x.shape[0]
         degree = min(2 * self.M, max(n - 1, 1))
         adjacency = gops.build_knn_graph(x, degree)
-        # coarse-quantizer entries replace HNSW's upper layers; scale ~N/64
-        # so clustered corpora stay reachable (pick_entry_points docstring)
-        n_entry = self.n_entry or min(2048, max(16, n // 64))
+        # coarse-quantizer entries replace HNSW's upper layers; a dense
+        # seed (~N/10, capped) lands the beam 1-2 hops from the answers so
+        # 3-4 iterations suffice (scripts/exp_beam_table_tune.py)
+        n_entry = self.n_entry or min(2048, max(16, n // 10))
         entries = gops.pick_entry_points(x, min(n_entry, n), seed=self.seed)
-        # NOTE: bf16 scoring copies were tried and reverted — TPU gathers of
-        # sub-32-bit rows fall off a performance cliff (measured ~100x
-        # slower beams); f32 rows + precomputed norms it is.
+        data = {
+            "vectors": x,
+            "sqnorms": dops.sq_norms(x),
+            "adjacency": adjacency,
+            "entry_ids": entries,
+        }
+        # bf16 neighbour-vector table: turns the beam's scattered-row
+        # vector gather into contiguous block rows (graph_search docstring).
+        # Plain bf16 *row* gathers of the corpus were tried in round 1 and
+        # reverted (sub-32-byte rows hit a gather cliff); table rows are
+        # R*d elements, far past the cliff.
+        table_mb = n * degree * int(dimension) * 2 / 1e6
+        use_table = self.nbr_table == "on" or (
+            self.nbr_table == "auto" and table_mb <= self.nbr_table_budget_mb
+        )
+        if use_table:
+            nbr_vecs, nbr_sqn = gops.build_neighbor_table(x, adjacency)
+            data["nbr_vecs"] = nbr_vecs
+            data["nbr_sqn"] = nbr_sqn
         return IndexArtifact(
             "graph",
-            jax.block_until_ready(
-                {
-                    "vectors": x,
-                    "sqnorms": dops.sq_norms(x),
-                    "adjacency": adjacency,
-                    "entry_ids": entries,
-                }
-            ),
+            jax.block_until_ready(data),
             {
                 "metric": self.metric,
                 "dimension": int(dimension),
@@ -86,6 +100,7 @@ class GraphIndexer(BaseIndexer):
                 "degree": int(degree),
                 "efConstruction": self.efConstruction,
                 "efSearch": self.efSearch,
+                "nbr_table": bool(use_table),
             },
         )
 
@@ -99,38 +114,37 @@ def graph_artifact_search(
 ) -> Tuple[jax.Array, jax.Array]:
     meta = artifact.metadata
     n = meta["n_vectors"]
+    degree = int(meta.get("degree", artifact.data["adjacency"].shape[1]))
     # efSearch -> beam width: our flat beam needs ~1.25x HNSW's heap size
     # for the same recall (no hierarchy); calibrated on 20k random 64d
-    # (beam 128 -> 0.938 recall vs FAISS efSearch=100 -> 0.916, BASELINE.md)
-    ef = max(int(ef_search * 1.25), k, 16)
+    # (beam 128 -> 0.94 recall vs FAISS efSearch=100 -> 0.916, BASELINE.md)
+    ef = max(int(ef_search * 1.25), k + 8, 16)
     ef = min(ef, n)
-    # wide expansion + few iterations: per-iteration fixed costs (gathers)
-    # dominate on TPU, so fewer/wider steps beat many narrow ones
-    # (measured: E=48/it=5 -> 3.1k QPS @ 0.944 vs E=16/it=20 -> 1.9k @ 0.937)
-    expand = min(48, ef)
-    iters = max(4, -(-ef // expand) + 2)
-    fetch_k = min(k + 8, ef)
+    # geometry from the round-2 sweep (scripts/exp_beam_table_tune.py):
+    # ~1536 scored rows per iteration (W = 1536/R), insert cap ~0.75*ef,
+    # 3 iterations at 20k growing with log-ish N (deeper hop chains)
+    expand = max(8, min(ef, 1536 // max(degree, 1)))
+    keep = max(k, (3 * ef) // 4)
+    iters = 3 + (n > 50_000) + (n > 500_000)
+    iters = max(iters, -(-ef // keep) + 1)
+    nbr_vecs = artifact.data.get("nbr_vecs")
     dists, ids = gops.graph_search(
         q,
         artifact.data["vectors"],
         artifact.data["adjacency"],
         artifact.data["entry_ids"],
-        fetch_k,
+        k,
         ef=ef,
         expand=expand,
         iters=iters,
         metric=metric,
         sqnorms=artifact.data.get("sqnorms"),
+        cand_keep=keep,
+        nbr_vecs=nbr_vecs,
+        nbr_sqn=artifact.data.get("nbr_sqn"),
+        rescore=nbr_vecs is not None,  # bf16 routing -> exact f32 re-rank
     )
-    full = artifact.data.get("full_vectors")
-    if full is not None and artifact.data["vectors"].dtype != jnp.float32:
-        # exact rescoring of the bf16-scored candidates
-        cd = dops.rescore(q, full, ids, "l2" if metric == "l2" else "ip")
-        vals, sel = dops.top_k_smallest(cd, min(k, fetch_k))
-        ids = jnp.take_along_axis(ids, sel, axis=1)
-        ids = jnp.where(jnp.isfinite(vals), ids, -1)
-        return vals, ids
-    return dists[:, :k], ids[:, :k]
+    return dists, ids
 
 
 class HNSW(CompositeAlgorithm):

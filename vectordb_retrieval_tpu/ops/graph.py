@@ -148,6 +148,27 @@ def build_knn_graph(
     return jnp.asarray(np.concatenate(rows, axis=0).astype(np.int32))
 
 
+def build_neighbor_table(
+    vectors: jax.Array,
+    adjacency: jax.Array,
+    dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, jax.Array]:
+    """Contiguous neighbour-vector table ``([N, R, d] dtype, [N, R] f32)``.
+
+    Stores each node's neighbour vectors contiguously so the beam's
+    per-iteration vector fetch is a [B, W]-row block gather instead of a
+    [B, W*R] scattered-row gather (~4x faster beams at W*R=1536; see
+    graph_search docstring). Costs R x index memory at the table dtype;
+    norms are kept in f32 so L2 distances stay well-conditioned under
+    bf16 values.
+    """
+    safe = jnp.where(adjacency >= 0, adjacency, 0)
+    table = vectors.astype(dtype)[safe]
+    v32 = vectors.astype(jnp.float32)
+    sqn = jnp.sum(v32 * v32, axis=-1)[safe]
+    return table, sqn
+
+
 def pick_entry_points(vectors: jax.Array, n_entry: int, seed: int = 0) -> jax.Array:
     """Coarse-quantizer entry points ``[E] int32``.
 
@@ -204,11 +225,14 @@ def _batch_dists(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "ef", "expand", "iters", "metric")
+    jax.jit,
+    static_argnames=(
+        "k", "ef", "expand", "iters", "metric", "cand_keep", "rescore"
+    ),
 )
 def graph_search(
     queries: jax.Array,
-    vectors: jax.Array,  # possibly bf16 scoring copies
+    vectors: jax.Array,  # f32 corpus (seed gather + optional final rescore)
     adjacency: jax.Array,  # [N, R]
     entry_ids: jax.Array,  # [E]
     k: int,
@@ -217,8 +241,36 @@ def graph_search(
     iters: int = 12,
     metric: str = "l2",
     sqnorms: jax.Array = None,  # f32 row norms (l2)
+    cand_keep: int = 0,  # per-iteration insert cap (0 = ef)
+    nbr_vecs: jax.Array = None,  # [N, R, d] neighbour-vector table
+    nbr_sqn: jax.Array = None,  # [N, R] f32 norms of table rows
+    rescore: bool = False,  # exact f32 rescore of the final candidates
 ) -> Tuple[jax.Array, jax.Array]:
-    """Batched beam search; returns ``(dists [B, k], ids [B, k])``."""
+    """Batched beam search; returns ``(dists [B, k], ids [B, k])``.
+
+    Sort-free beam maintenance. The original design deduped/merged via a
+    composite-key ``argsort`` over the ``[B, ef + W*R]`` concat — profiled
+    at ~22 ms/batch for the sort plus ~10 ms per wide ``take_along_axis``,
+    i.e. ~85% of beam runtime, while ``approx_max_k`` costs ~0.2 ms at any
+    width (scripts/exp_topk_cost.py). Every step is therefore expressed as
+    ``approx_max_k`` + narrow gathers + pairwise-compare dedup:
+
+      1. select the ``expand`` best unexpanded beam entries  (amk over ef)
+      2. gather + score their neighbours                     ([B, W*R])
+      3. mask candidates already in the beam                 (pairwise ==)
+      4. keep the best ``cand_keep`` candidates              (amk over W*R)
+      5. mask duplicate ids inside that small set            (pairwise ==)
+      6. merge into the beam                                 (amk over ef+C)
+
+    When ``nbr_vecs``/``nbr_sqn`` are given (built by
+    :func:`build_neighbor_table`), step 2's per-row gather of ``B*W*R``
+    scattered corpus rows (measured ~3.7 ms/iter at W*R=1536 — row-latency
+    bound) becomes ONE contiguous-block gather of ``B*W`` table rows of
+    ``R*d`` elements (~1 ms/iter): each node's neighbour vectors are stored
+    contiguously, trading R x index memory (bf16 halves it) for the row
+    count. Routing then runs on bf16 values; pass ``rescore=True`` to
+    re-rank the final ``k+8`` candidates against the f32 corpus in-kernel.
+    """
     b = queries.shape[0]
     r = adjacency.shape[1]
     e = entry_ids.shape[0]
@@ -226,11 +278,29 @@ def graph_search(
     if sqnorms is None:
         v32 = vectors.astype(jnp.float32)
         sqnorms = jnp.sum(v32 * v32, axis=-1)
+    keep = cand_keep or ef
+    keep = min(keep, expand * r)
+    rows = jnp.arange(b)[:, None]
+    qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
 
     # Seed beam with entry points (top-ef by distance when there are more
-    # entries than beam slots — the coarse-quantizer routing step).
+    # entries than beam slots — the coarse-quantizer routing step). Entry
+    # rows are shared by every query: gather them ONCE ([E, d]) and score
+    # with a single [B, E] matmul instead of per-query row gathers (the
+    # broadcasted-gather seed cost ~8 ms at E=2048, B=256).
     seed_ids = jnp.broadcast_to(entry_ids[None, :], (b, e)).astype(jnp.int32)
-    seed_d = _batch_dists(queries, vectors, sqnorms, seed_ids, metric)
+    safe_entry = jnp.where(entry_ids >= 0, entry_ids, 0)
+    entry_vecs = vectors[safe_entry]  # [E, d]
+    seed_dots = jnp.dot(
+        queries.astype(entry_vecs.dtype),
+        entry_vecs.T,
+        preferred_element_type=jnp.float32,
+    )
+    if metric == "l2":
+        seed_d = qn[:, None] + sqnorms[safe_entry][None, :] - 2.0 * seed_dots
+    else:
+        seed_d = -seed_dots
+    seed_d = jnp.where(entry_ids[None, :] >= 0, seed_d, big)
     if e > ef:
         neg, sel = jax.lax.approx_max_k(-seed_d, ef, recall_target=1.0)
         seed_d = -neg
@@ -247,58 +317,93 @@ def graph_search(
 
     def body(state, _):
         beam_ids, beam_d, beam_exp = state
-        # pick W best unexpanded entries
+        # 1. pick W best unexpanded entries (amk(rt=1.0): bit-exact)
         sel_d = jnp.where(beam_exp | (beam_ids < 0), big, beam_d)
-        # approx_max_k(rt=1.0): bit-exact, faster than TopK on wide rows
         _, sel = jax.lax.approx_max_k(-sel_d, expand, recall_target=1.0)
         sel_ids = jnp.take_along_axis(beam_ids, sel, axis=1)
         sel_valid = jnp.isfinite(jnp.take_along_axis(sel_d, sel, axis=1))
-        # mark them expanded
-        beam_exp = beam_exp | jnp.zeros_like(beam_exp).at[
-            jnp.arange(b)[:, None], sel
-        ].set(True)
-        # gather neighbours
+        beam_exp = beam_exp.at[rows, sel].set(True)
+        # 2. gather + score neighbours
         safe_sel = jnp.where(sel_ids >= 0, sel_ids, 0)
-        neigh = adjacency[safe_sel].reshape(b, expand * r)  # [B, W*R]
-        neigh = jnp.where(
-            jnp.repeat(sel_valid, r, axis=1) & (neigh >= 0), neigh, -1
+        if nbr_vecs is not None:
+            neigh3 = adjacency[safe_sel]  # [B, W, R]
+            nvec = nbr_vecs[safe_sel]  # [B, W, R, d] ONE block gather
+            nsqn = nbr_sqn[safe_sel]  # [B, W, R]
+            dots = jnp.einsum(
+                "bwrd,bd->bwr",
+                nvec,
+                queries.astype(nvec.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            if metric == "l2":
+                nd3 = qn[:, None, None] + nsqn - 2.0 * dots
+            else:
+                nd3 = -dots
+            neigh = jnp.where(
+                sel_valid[:, :, None] & (neigh3 >= 0), neigh3, -1
+            ).reshape(b, expand * r)
+            nd = jnp.where(neigh >= 0, nd3.reshape(b, expand * r), big)
+        else:
+            neigh = adjacency[safe_sel].reshape(b, expand * r)  # [B, W*R]
+            neigh = jnp.where(
+                jnp.repeat(sel_valid, r, axis=1) & (neigh >= 0), neigh, -1
+            )
+            nd = _batch_dists(queries, vectors, sqnorms, neigh, metric)
+        # 3. drop candidates already in the beam (their distance is known;
+        # re-inserting would only burn slots / re-expand)
+        in_beam = jnp.any(
+            neigh[:, :, None] == beam_ids[:, None, :], axis=2
         )
-        nd = _batch_dists(queries, vectors, sqnorms, neigh, metric)
-        # merge + dedup (expanded-first so flags survive)
-        cat_ids = jnp.concatenate([beam_ids, neigh], axis=1)
-        cat_d = jnp.concatenate([beam_d, nd], axis=1)
+        nd = jnp.where(in_beam | (neigh < 0), big, nd)
+        # 4. best `keep` new candidates
+        cnd, cpos = jax.lax.approx_max_k(-nd, keep, recall_target=1.0)
+        cand_d = -cnd
+        cand_ids = jnp.take_along_axis(neigh, cpos, axis=1)
+        # 5. intra-set dedup: keep first occurrence (amk output is
+        # value-sorted, so "first" is also the best-ranked copy)
+        eq = cand_ids[:, :, None] == cand_ids[:, None, :]  # [B, C, C]
+        tri = jnp.tril(jnp.ones((keep, keep), dtype=jnp.bool_), k=-1)
+        dup = jnp.any(eq & tri[None], axis=2)
+        cand_d = jnp.where(dup | (cand_ids < 0), big, cand_d)
+        # 6. merge (width ef + C — narrow, so amk + takes stay cheap)
+        cat_ids = jnp.concatenate([beam_ids, cand_ids], axis=1)
+        cat_d = jnp.concatenate([beam_d, cand_d], axis=1)
         cat_exp = jnp.concatenate(
-            [beam_exp, jnp.zeros_like(neigh, dtype=jnp.bool_)], axis=1
+            [beam_exp, jnp.zeros((b, keep), dtype=jnp.bool_)], axis=1
         )
-        # int32-safe composite key (N < 2^30): invalid ids sort last,
-        # duplicates sort expanded-copy first so the flag survives dedup.
-        sort_key = jnp.where(
-            cat_ids < 0,
-            jnp.int32(2**31 - 1),
-            cat_ids * 2 + (1 - cat_exp.astype(jnp.int32)),
-        )
-        order = jnp.argsort(sort_key, axis=1)
-        s_ids = jnp.take_along_axis(cat_ids, order, axis=1)
-        s_d = jnp.take_along_axis(cat_d, order, axis=1)
-        s_exp = jnp.take_along_axis(cat_exp, order, axis=1)
-        dup = jnp.concatenate(
-            [
-                jnp.zeros((b, 1), dtype=jnp.bool_),
-                s_ids[:, 1:] == s_ids[:, :-1],
-            ],
-            axis=1,
-        )
-        s_d = jnp.where(dup | (s_ids < 0), big, s_d)
-        new_d, pos = jax.lax.approx_max_k(-s_d, ef, recall_target=1.0)
+        new_d, pos = jax.lax.approx_max_k(-cat_d, ef, recall_target=1.0)
         new_d = -new_d
-        new_ids = jnp.take_along_axis(s_ids, pos, axis=1)
-        new_exp = jnp.take_along_axis(s_exp, pos, axis=1)
+        new_ids = jnp.take_along_axis(cat_ids, pos, axis=1)
+        new_exp = jnp.take_along_axis(cat_exp, pos, axis=1)
         new_ids = jnp.where(jnp.isfinite(new_d), new_ids, -1)
         return (new_ids, new_d, new_exp), None
 
     (beam_ids, beam_d, beam_exp), _ = jax.lax.scan(
         body, (beam_ids, beam_d, beam_exp), None, length=iters
     )
+    if rescore:
+        # exact f32 re-rank of the survivors (routing ran on bf16 table
+        # values — final distances must come from the true corpus rows)
+        kk = min(k + 8, ef)
+        _, pos = jax.lax.approx_max_k(-beam_d, kk, recall_target=1.0)
+        fids = jnp.take_along_axis(beam_ids, pos, axis=1)
+        safe = jnp.where(fids >= 0, fids, 0)
+        fvec = vectors[safe].astype(jnp.float32)  # [B, kk, d]
+        if metric == "l2":
+            diff = fvec - queries[:, None, :]
+            fd = jnp.sum(diff * diff, axis=-1)
+        else:
+            fd = -jnp.einsum(
+                "bcd,bd->bc", fvec, queries,
+                preferred_element_type=jnp.float32,
+            )
+        fd = jnp.where(fids >= 0, fd, big)
+        out_d, opos = jax.lax.approx_max_k(
+            -fd, min(k, kk), recall_target=1.0
+        )
+        out_ids = jnp.take_along_axis(fids, opos, axis=1)
+        out_ids = jnp.where(jnp.isfinite(-out_d), out_ids, -1)
+        return -out_d, out_ids
     kk = min(k, ef)
     out_d, pos = jax.lax.approx_max_k(-beam_d, kk, recall_target=1.0)
     out_ids = jnp.take_along_axis(beam_ids, pos, axis=1)
