@@ -20,10 +20,12 @@ def _dataset(rng, n=2000, d=32, nq=32):
     return x, q, gt
 
 
-def _composite(index_key, metric="l2", nprobe=10):
+def _composite(index_key, metric="l2", nprobe=10, **indexer_kw):
     return CompositeAlgorithm(
         dimension=32,
-        indexer={"type": "FactoryIndexer", "index_key": index_key},
+        indexer={
+            "type": "FactoryIndexer", "index_key": index_key, **indexer_kw
+        },
         searcher={"type": "ANNSearcher", "nprobe": nprobe},
         metric=metric,
     )
@@ -71,11 +73,24 @@ def test_opq_improves_or_matches_pq(rng):
 
 
 def test_ivf_flat_high_nprobe_is_exact(rng):
+    # all-probe == exact holds bit-for-bit in the f32-list and the
+    # bf16+exact_rescore modes; the memory-parity bf16 default trades a
+    # bounded amount of near-tie recall (floor-tested below)
     x, q, gt = _dataset(rng)
-    algo = _composite("IVF16,Flat", nprobe=16)  # probe all lists == exact
+    for kw in ({"list_dtype": "f32"}, {"exact_rescore": True}):
+        algo = _composite("IVF16,Flat", nprobe=16, **kw)
+        algo.build_index(x)
+        _, ids = algo.batch_search(q, 10)
+        assert recall_at_k(gt, ids, 10) == 1.0, kw
+
+
+def test_ivf_flat_bf16_default_recall_floor(rng):
+    x, q, gt = _dataset(rng)
+    algo = _composite("IVF16,Flat", nprobe=16)  # bf16 lists, no f32 copy
     algo.build_index(x)
+    assert "full_vectors" not in algo.artifact.data  # memory parity
     _, ids = algo.batch_search(q, 10)
-    assert recall_at_k(gt, ids, 10) == 1.0
+    assert recall_at_k(gt, ids, 10) >= 0.985
 
 
 def test_ivf_flat_partial_probe_recall(rng):
@@ -126,7 +141,9 @@ def test_cosine_metric_ivf(rng):
     xn = x / np.linalg.norm(x, axis=1, keepdims=True)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     gt = np.argsort(-(qn @ xn.T), axis=1)[:, :10]
-    algo = _composite("IVF16,Flat", metric="cosine", nprobe=16)
+    algo = _composite(
+        "IVF16,Flat", metric="cosine", nprobe=16, list_dtype="f32"
+    )
     algo.build_index(x)
     _, ids = algo.batch_search(q, 10)
     assert recall_at_k(gt, ids, 10) == 1.0
@@ -149,7 +166,8 @@ def test_approximate_search_algorithm(rng):
 
     x, q, gt = _dataset(rng)
     algo = get_algorithm_instance(
-        "ApproximateSearch", 32, index_type="IVF16,Flat", nprobe=16
+        "ApproximateSearch", 32, index_type="IVF16,Flat", nprobe=16,
+        list_dtype="f32",
     )
     algo.build_index(x)
     _, ids = algo.batch_search(q, 10)
@@ -163,5 +181,11 @@ def test_ivf_ops_estimate(rng):
     algo.batch_search(q, 5)
     ops = algo.get_operations()
     meta = algo.artifact.metadata
-    expected = (meta["nlist"] + 4 * meta["max_list_len"]) * q.shape[0]
+    # bucketed layout: coarse scan covers every bucket, and "nprobe lists"
+    # scales to nprobe * n_buckets / nlist probed buckets
+    nprobe_eff = -(-4 * meta["n_buckets"] // meta["nlist"])
+    nprobe_eff = max(1, min(nprobe_eff, meta["n_buckets"]))
+    expected = (
+        meta["n_buckets"] + nprobe_eff * meta["max_list_len"]
+    ) * q.shape[0]
     assert ops["ndis"] == expected

@@ -19,16 +19,23 @@ class ApproximateSearch(CompositeAlgorithm):
         metric: str = "l2",
         index_type: str = "IVF100,Flat",
         nprobe: int = 10,
+        list_dtype: str = None,
+        exact_rescore: bool = None,
         **params: Any,
     ):
+        indexer = {
+            "type": "FactoryIndexer",
+            "index_key": index_type,
+            "nprobe": nprobe,
+        }
+        if list_dtype is not None:
+            indexer["list_dtype"] = list_dtype
+        if exact_rescore is not None:
+            indexer["exact_rescore"] = exact_rescore
         super().__init__(
             dimension=dimension,
             metric=metric,
-            indexer={
-                "type": "FactoryIndexer",
-                "index_key": index_type,
-                "nprobe": nprobe,
-            },
+            indexer=indexer,
             searcher={"type": "ANNSearcher", "nprobe": nprobe},
             name="ApproximateSearch",
             **params,

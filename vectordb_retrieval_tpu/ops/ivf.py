@@ -55,6 +55,55 @@ def build_padded_lists(
     return slot_ids, counts.astype(np.int32), pad_ratio
 
 
+def build_bucketed_lists(
+    assignments: np.ndarray,
+    nlist: int,
+    pad_multiple: int = 8,
+    target_len: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Bucketed list layout: ``(slot_ids [n_buckets, L], bucket_lists, pad_ratio)``.
+
+    ``build_padded_lists`` pads every list to the LONGEST one, so skewed
+    k-means partitions blow index memory up (measured pad_ratio 6.8 on
+    clustered 100k x 384d — the padded lists alone were ~7x the corpus,
+    the round-1 memory finding). Here every list is split into buckets of
+    a fixed near-balanced length ``L`` (default: ceil(n/nlist) rounded to
+    ``pad_multiple``); a list with c members occupies ceil(c/L) buckets,
+    and ``bucket_lists[b]`` records which list bucket b belongs to, so the
+    searcher probes the DUPLICATED centroid table ``centroids[bucket_lists]``
+    — buckets of one list share a centroid, hence identical coarse
+    distance, hence adjacent probe ranks: probing a list means probing its
+    buckets. pad_ratio drops to ~1 + nlist*L/n regardless of skew.
+    Empty lists keep one (all ``-1``) bucket so every centroid stays
+    addressable.
+    """
+    n = max(int(assignments.shape[0]), 1)
+    counts = np.bincount(assignments, minlength=nlist)
+    if not target_len:
+        target_len = -(-n // max(nlist, 1))
+    target_len = max(
+        pad_multiple, -(-target_len // pad_multiple) * pad_multiple
+    )
+    n_buckets_per = np.maximum(1, -(-counts // target_len))
+    n_buckets = int(n_buckets_per.sum())
+    slot_ids = np.full((n_buckets, target_len), -1, dtype=np.int32)
+    bucket_lists = np.empty((n_buckets,), dtype=np.int32)
+    order = np.argsort(assignments, kind="stable")
+    offset = 0
+    b = 0
+    for l in range(nlist):
+        c = int(counts[l])
+        members = order[offset : offset + c]
+        offset += c
+        for s in range(int(n_buckets_per[l])):
+            part = members[s * target_len : (s + 1) * target_len]
+            slot_ids[b, : part.size] = part
+            bucket_lists[b] = l
+            b += 1
+    pad_ratio = float(n_buckets * target_len) / float(n)
+    return slot_ids, bucket_lists, pad_ratio
+
+
 def _probe_scan(queries, centroids, probes, k, score_fn):
     """Shared nprobe loop: scan over probe ranks, merging a running top-k.
 
@@ -136,10 +185,35 @@ def ivf_flat_search(
     return dists, ids
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
+# resident-reconstruction budget for decode-on-read IVF-PQ (bf16 bytes);
+# above it the search switches to the masked streaming scan
+_IVFPQ_RESIDENT_BUDGET = 192 * 1024 * 1024
+# per-chunk transient budget for the streaming scan
+_IVFPQ_CHUNK_BUDGET = 48 * 1024 * 1024
+
+
+def _decode_lists(codes_p, cents_p, codebooks, chunk, L, d):
+    """Decode padded list codes ``[chunk, L, m]`` -> bf16 ``x_hat`` + f32 norms.
+
+    bf16 reconstructions: PQ quantisation error dwarfs bf16 rounding, and
+    halving the bytes halves both the resident footprint and the scoring
+    gather traffic. Norms are computed in f32 BEFORE the downcast.
+    """
+    r_hat = pqops.pq_reconstruct(codes_p.reshape(chunk * L, -1), codebooks)
+    x_hat = r_hat.reshape(chunk, L, d) + cents_p[:, None, :]
+    sqn = jnp.sum(x_hat * x_hat, axis=-1)
+    return x_hat.astype(jnp.bfloat16), sqn
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "nprobe", "metric", "resident_budget", "chunk_budget"
+    ),
+)
 def ivf_pq_search(
     queries: jax.Array,
-    centroids: jax.Array,
+    centroids: jax.Array,  # coarse table, one row per BUCKET
     slot_ids: jax.Array,
     list_codes: jax.Array,
     list_sqnorms: jax.Array,  # ||residual_hat||^2 per slot (kept for parity)
@@ -147,57 +221,127 @@ def ivf_pq_search(
     k: int,
     nprobe: int,
     metric: str = "l2",
+    resident_budget: int = _IVFPQ_RESIDENT_BUDGET,
+    chunk_budget: int = _IVFPQ_CHUNK_BUDGET,
 ) -> Tuple[jax.Array, jax.Array]:
-    """IVF-PQ, decode-on-read: reconstruct every list ONCE per query batch
-    (one chunked one-hot decode pass over the codes, query-independent),
-    then probe like IVF-Flat over the reconstructions.
+    """IVF-PQ with decode-on-read, in one of two transient regimes.
 
-    Per-probe decoding (classic ADC layout) re-decodes each probed list for
-    every query — with 128-query batches and nprobe 48 that is ~50x more
-    decode work than the corpus contains. The reconstruction
-    ``x_hat = c_l + r_hat`` is transient HBM (freed after the search);
-    persisted index storage stays codes-only. Distances are identical to
-    residual ADC: ``||q - (c_l + r_hat)||^2``.
+    Small indexes (reconstruction <= ~192 MB bf16): reconstruct every list
+    ONCE per query batch (query-independent chunked one-hot decode), then
+    probe like IVF-Flat. Per-probe decoding (classic CPU ADC) would
+    re-decode each probed list per query — ~50x more decode work than the
+    corpus contains at 128-query batches.
+
+    Large indexes: the resident reconstruction would scale O(N*d) (512 MB
+    f32 at 1M x 128d — the round-1 scaling flaw), so the search streams
+    instead: lax.scan over bucket chunks, each chunk decoded into a
+    fixed-budget transient, scored against ALL queries on the MXU, and
+    masked to the probed buckets before the running top-k merge — recall
+    semantics identical to probing (unprobed buckets contribute +inf),
+    transient independent of corpus size. The extra (masked-out) MXU work
+    is nearly free at batch>=64: the whole-corpus ADC matmul costs ~0.5 ms
+    at 1M x 128d while the decode traffic (shared by both regimes)
+    dominates.
     """
-    nlist, L, m = list_codes.shape
+    n_bkt, L, m = list_codes.shape
     d = centroids.shape[1]
+    resident_bytes = n_bkt * L * d * 2
 
-    chunk = max(1, min(nlist, -(-65_536 // max(L, 1))))
-    n_chunks = -(-nlist // chunk)
-    pad = n_chunks * chunk - nlist
+    probes = _coarse_probes(queries, centroids, nprobe)
+    qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
+    b = queries.shape[0]
+
+    if resident_bytes <= resident_budget:
+        chunk = max(1, min(n_bkt, -(-65_536 // max(L, 1))))
+        n_chunks = -(-n_bkt // chunk)
+        pad = n_chunks * chunk - n_bkt
+        codes_p = jnp.pad(list_codes, ((0, pad), (0, 0), (0, 0))).reshape(
+            n_chunks, chunk, L, m
+        )
+        cents_p = jnp.pad(centroids, ((0, pad), (0, 0))).reshape(
+            n_chunks, chunk, d
+        )
+
+        def decode(_, inp):
+            cc, cl = inp
+            return None, _decode_lists(cc, cl, codebooks, chunk, L, d)
+
+        _, (recon, recon_sqn) = jax.lax.scan(decode, None, (codes_p, cents_p))
+        recon = recon.reshape(n_chunks * chunk, L, d)[:n_bkt]
+        recon_sqn = recon_sqn.reshape(n_chunks * chunk, L)[:n_bkt]
+        q_cast = queries.astype(recon.dtype)
+
+        def score(lists):
+            vecs = recon[lists]
+            ids = slot_ids[lists]
+            dots = jnp.einsum(
+                "bld,bd->bl", vecs, q_cast,
+                preferred_element_type=jnp.float32,
+            )
+            if metric == "l2":
+                dist = qn[:, None] + recon_sqn[lists] - 2.0 * dots
+            else:
+                dist = -dots
+            return dist, ids
+
+        return _probe_scan(queries, centroids, probes, k, score)
+
+    # --- streaming masked scan (bounded transient) ---
+    chunk = max(1, min(n_bkt, chunk_budget // max(L * d * 2, 1)))
+    n_chunks = -(-n_bkt // chunk)
+    pad = n_chunks * chunk - n_bkt
     codes_p = jnp.pad(list_codes, ((0, pad), (0, 0), (0, 0))).reshape(
         n_chunks, chunk, L, m
     )
     cents_p = jnp.pad(centroids, ((0, pad), (0, 0))).reshape(
         n_chunks, chunk, d
     )
+    slots_p = jnp.pad(
+        slot_ids, ((0, pad), (0, 0)), constant_values=-1
+    ).reshape(n_chunks, chunk, L)
+    q_bf = queries.astype(jnp.bfloat16)
+    init = (
+        jnp.full((b, k), jnp.inf, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
 
-    def decode(_, inp):
-        cc, cl = inp  # [chunk, L, m], [chunk, d]
-        r_hat = pqops.pq_reconstruct(cc.reshape(chunk * L, m), codebooks)
-        x_hat = r_hat.reshape(chunk, L, d) + cl[:, None, :]
-        return None, (x_hat, jnp.sum(x_hat * x_hat, axis=-1))
-
-    _, (recon, recon_sqn) = jax.lax.scan(decode, None, (codes_p, cents_p))
-    recon = recon.reshape(n_chunks * chunk, L, d)[:nlist]
-    recon_sqn = recon_sqn.reshape(n_chunks * chunk, L)[:nlist]
-
-    probes = _coarse_probes(queries, centroids, nprobe)
-    qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
-
-    def score(lists):
-        vecs = recon[lists]
-        ids = slot_ids[lists]
-        dots = jnp.einsum(
-            "bld,bd->bl", vecs, queries, preferred_element_type=jnp.float32
-        )
+    def step(carry, inp):
+        best_d, best_i = carry
+        c_idx, cc, cl, cs = inp
+        x_hat, sqn = _decode_lists(cc, cl, codebooks, chunk, L, d)
+        base = c_idx * chunk
+        # probed mask: [B, chunk] — is bucket (base+j) probed by query b?
+        local = probes - base  # [B, nprobe]
+        hit = jnp.zeros((b, chunk), dtype=jnp.bool_)
+        hit = hit.at[
+            jnp.arange(b)[:, None], jnp.clip(local, 0, chunk - 1)
+        ].max(jnp.logical_and(local >= 0, local < chunk))
+        dots = jax.lax.dot_general(
+            q_bf,
+            x_hat.reshape(chunk * L, d),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [B, chunk*L]
         if metric == "l2":
-            dist = qn[:, None] + recon_sqn[lists] - 2.0 * dots
+            dist = qn[:, None] + sqn.reshape(1, chunk * L) - 2.0 * dots
         else:
             dist = -dots
-        return dist, ids
+        ids = cs.reshape(1, chunk * L)
+        valid = (ids >= 0) & jnp.repeat(hit, L, axis=1)
+        dist = jnp.where(valid, dist, jnp.inf)
+        cat_d = jnp.concatenate([best_d, dist], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(ids, (b, chunk * L))], axis=1
+        )
+        new_d, sel = dops.top_k_smallest(cat_d, k)
+        return (new_d, jnp.take_along_axis(cat_i, sel, axis=1)), None
 
-    return _probe_scan(queries, centroids, probes, k, score)
+    (best_d, best_i), _ = jax.lax.scan(
+        step,
+        init,
+        (jnp.arange(n_chunks, dtype=jnp.int32), codes_p, cents_p, slots_p),
+    )
+    return best_d, best_i
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
