@@ -53,3 +53,28 @@ def test_glove50_missing_file_raises(tmp_path):
                 "use_cache": False,
             },
         ).load()
+
+
+def test_glove50_surrogate(tmp_path):
+    """Surrogate loader: shapes, surrogate labelling, determinism."""
+    opts = {
+        "train_limit": 500,
+        "test_size": 16,
+        "ground_truth_k": 10,
+        "use_cache": False,
+    }
+    ds = Dataset("glove50_surrogate", data_dir=str(tmp_path), options=opts)
+    ds.load()
+    assert ds.train_vectors.shape == (500, 50)
+    assert ds.test_vectors.shape == (16, 50)
+    assert ds.ground_truth.shape == (16, 10)
+    # results on this dataset must be identifiable as surrogate
+    assert ds.metadata["surrogate"] is True
+    assert ds.metadata["surrogate_for"] == "glove50"
+    # mean norm lands near the glove.6B.50d target (4.4)
+    norms = np.linalg.norm(ds.train_vectors, axis=1)
+    assert 3.5 < norms.mean() < 5.5
+    ds2 = Dataset("glove50_surrogate", data_dir=str(tmp_path), options=opts)
+    ds2.load()
+    np.testing.assert_array_equal(ds.train_vectors, ds2.train_vectors)
+    np.testing.assert_array_equal(ds.ground_truth, ds2.ground_truth)

@@ -37,12 +37,16 @@ def compute_ground_truth(
     metric: str = "l2",
     normalize: bool = False,
 ) -> np.ndarray:
-    """Exact top-k ground truth via the device MXU scan (ids only)."""
+    """Exact top-k ground truth via the device MXU scan (ids only).
+
+    ``train`` may be an ndarray, ``np.memmap`` or ``BigStore`` — out-of-core
+    sources stream to device in bounded chunks (data/storage.py)."""
     import jax.numpy as jnp
 
+    from vectordb_retrieval_tpu.data.storage import corpus_to_device
     from vectordb_retrieval_tpu.ops import distances as dops
 
-    x = jnp.asarray(np.ascontiguousarray(train, dtype=np.float32))
+    x = corpus_to_device(train)
     q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
     if metric == "cosine" or normalize:
         x = dops.normalize(x)
@@ -161,7 +165,9 @@ class Dataset:
     ``.train_vectors / .test_vectors / .ground_truth / .metric``.
     """
 
-    CATALOG = ("random", "glove50", "sift1m", "msmarco")
+    CATALOG = (
+        "random", "glove50", "glove50_surrogate", "sift1m", "msmarco"
+    )
 
     def __init__(
         self,
@@ -193,13 +199,36 @@ class Dataset:
             self.data_dir, "cache", f"{self.name}_{self._cache_key()}.npz"
         )
 
+    def _store_path(self) -> str:
+        return os.path.join(
+            self.data_dir,
+            "cache",
+            f"{self.name}_{self._cache_key()}_train.bin",
+        )
+
+    @property
+    def _memmap_mode(self) -> bool:
+        """True when the train corpus lives in an out-of-core BigStore
+        (``storage: memmap`` option — the >RAM staging path)."""
+        return self.options.get("storage") == "memmap"
+
     def _load_cache(self) -> bool:
+        from vectordb_retrieval_tpu.data.storage import BigStore
+
         path = self._cache_path()
         if not os.path.exists(path):
             return False
         try:
             with np.load(path, allow_pickle=False) as z:
-                self.train_vectors = z["train"]
+                if "train" in z.files:
+                    self.train_vectors = z["train"]
+                elif BigStore.exists(self._store_path()):
+                    # out-of-core train corpus: lazy read-only memmap view
+                    self.train_vectors = BigStore.open(
+                        self._store_path()
+                    ).as_memmap()
+                else:
+                    return False
                 self.test_vectors = z["test"]
                 self.ground_truth = z["gt"]
             meta_path = path + ".json"
@@ -214,9 +243,12 @@ class Dataset:
         path = self._cache_path()
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp.npz"
-        np.savez(
-            tmp, train=self.train_vectors, test=self.test_vectors, gt=self.ground_truth
-        )
+        payload = {"test": self.test_vectors, "gt": self.ground_truth}
+        if not isinstance(self.train_vectors, np.memmap):
+            # memmap corpora already live in the BigStore next to the npz;
+            # materialising them into the npz would defeat the RSS bound.
+            payload["train"] = self.train_vectors
+        np.savez(tmp, **payload)
         os.replace(tmp, path)
         with open(path + ".json", "w") as f:
             json.dump(self.metadata, f, indent=2)
@@ -251,13 +283,33 @@ class Dataset:
         return int(self.options.get("ground_truth_k", 100))
 
     def _load_random(self) -> None:
-        """Seeded gaussian synthesis (reference dataset.py:473-504)."""
+        """Seeded gaussian synthesis (reference dataset.py:473-504).
+
+        With ``storage: memmap`` the train corpus is generated chunk-by-chunk
+        straight into an on-disk BigStore (never fully materialised on the
+        host) and exposed as a read-only memmap — the >RAM staging path
+        (reference memmap protocol v2, dataset.py:281-471)."""
         dim = int(self.options.get("dimensions", 128))
         n_train = int(self.options.get("train_size", 10000))
         n_test = int(self.options.get("test_size", 1000))
         seed = int(self.options.get("seed", 42))
         rng = np.random.default_rng(seed)
-        self.train_vectors = rng.standard_normal((n_train, dim), dtype=np.float32)
+        if self._memmap_mode:
+            from vectordb_retrieval_tpu.data.storage import BigStore
+
+            chunk = int(self.options.get("chunk_rows", 1 << 18))
+            with BigStore.create(self._store_path(), dim) as store:
+                for start in range(0, n_train, chunk):
+                    rows = min(chunk, n_train - start)
+                    store.append(
+                        rng.standard_normal((rows, dim), dtype=np.float32)
+                    )
+            self.train_vectors = BigStore.open(self._store_path()).as_memmap()
+            self.metadata["train_store"] = self._store_path()
+        else:
+            self.train_vectors = rng.standard_normal(
+                (n_train, dim), dtype=np.float32
+            )
         self.test_vectors = rng.standard_normal((n_test, dim), dtype=np.float32)
         self.ground_truth = compute_ground_truth(
             self.train_vectors, self.test_vectors, self._gt_k(), self.metric
@@ -327,6 +379,95 @@ class Dataset:
             train_idx = train_idx[:train_limit]
         self.train_vectors = np.ascontiguousarray(mat[train_idx])
         self.test_vectors = np.ascontiguousarray(mat[test_idx])
+        self.ground_truth = compute_ground_truth(
+            self.train_vectors, self.test_vectors, self._gt_k(), self.metric
+        )
+
+    def _load_glove50_surrogate(self) -> None:
+        """Distribution-matched GloVe-50 stand-in (NOT real data).
+
+        This bench host has zero egress (data/download_attempts.log records
+        the failed fetches of the reference's GloVe zip,
+        dataset.py:611-663), so this generator synthesises a corpus with
+        glove.6B.50d's published structural statistics:
+
+          * anisotropic spectrum: per-component scale ~ (i+1)^-alpha —
+            GloVe vectors concentrate variance in a few directions (Mu &
+            Viswanath 2018, "All-but-the-Top");
+          * Zipf-weighted hierarchical clusters (semantic neighbourhoods;
+            word-frequency skew) — parents + tight children;
+          * a common mean offset (GloVe's non-centred geometry) and
+            log-normal radial spread with mean norm ~4.4 (typical
+            glove.6B.50d row norms).
+
+        The knobs were calibrated so the framework's FAISS-equivalent
+        algorithms, configured EXACTLY like the reference's glove50 rows,
+        land near the reference's measured recalls
+        (scripts/calibrate_glove_surrogate.py). The shipped defaults
+        (anisotropy 0.0, point_scale 1.4, child_scale 1.2) reproduce the
+        reference's five glove50 recall rows within max |err| = 0.012:
+        ivf_flat 0.858 (ref 0.870), ivf_pq 0.911 (0.909), ivf_sq8 0.905
+        (0.911), pq 0.984 (0.982), hnsw 0.963 (0.975) — calibration chose
+        the flat spectrum: difficulty match beat the anisotropy prior.
+        Results on this dataset are labelled surrogate in benchmark
+        metadata — they are difficulty-matched, not real-GloVe numbers.
+        """
+        d = 50
+        n_train = int(self.options.get("train_limit", 20000))
+        n_test = int(self.options.get("test_size", 256))
+        seed = int(self.options.get("seed", 11))
+        alpha = float(self.options.get("anisotropy", 0.0))
+        n_parents = int(self.options.get("n_parents", 160))
+        children_per = int(self.options.get("children_per_parent", 6))
+        child_scale = float(self.options.get("child_scale", 1.2))
+        point_scale = float(self.options.get("point_scale", 1.4))
+        mean_norm = float(self.options.get("mean_norm", 4.4))
+
+        rng = np.random.default_rng(seed)
+        n = n_train + n_test
+        spectrum = (np.arange(1, d + 1, dtype=np.float32)) ** (-alpha)
+        spectrum /= np.sqrt(np.mean(spectrum**2))
+
+        parents = rng.standard_normal((n_parents, d)).astype(np.float32)
+        children = (
+            parents[:, None, :]
+            + child_scale
+            * rng.standard_normal((n_parents, children_per, d)).astype(
+                np.float32
+            )
+        ).reshape(n_parents * children_per, d)
+        # Zipfian cluster occupancy (frequency-skewed semantic clusters)
+        ranks = np.arange(1, children.shape[0] + 1, dtype=np.float64)
+        probs = ranks**-0.85
+        probs /= probs.sum()
+        assign = rng.choice(children.shape[0], size=n, p=probs)
+        pts = children[assign] + point_scale * rng.standard_normal(
+            (n, d)
+        ).astype(np.float32)
+        # diffuse background mass (rare words scatter far from any cluster)
+        bg_frac = float(self.options.get("background_frac", 0.0))
+        if bg_frac > 0:
+            n_bg = int(n * bg_frac)
+            bg_rows = rng.choice(n, size=n_bg, replace=False)
+            bg_scale = float(np.linalg.norm(pts, axis=1).mean()) / np.sqrt(d)
+            pts[bg_rows] = bg_scale * rng.standard_normal(
+                (n_bg, d)
+            ).astype(np.float32)
+        pts *= spectrum[None, :]
+        # common (non-centred) offset along a fixed direction
+        mu_dir = rng.standard_normal(d).astype(np.float32) * spectrum
+        mu_dir /= np.linalg.norm(mu_dir)
+        pts += 0.35 * np.linalg.norm(pts, axis=1).mean() * mu_dir[None, :]
+        # log-normal radial spread, rescaled to the target mean norm
+        radial = rng.lognormal(0.0, 0.28, size=n).astype(np.float32)
+        pts *= radial[:, None]
+        pts *= mean_norm / np.linalg.norm(pts, axis=1).mean()
+
+        perm = rng.permutation(n)
+        self.train_vectors = np.ascontiguousarray(pts[perm[:n_train]])
+        self.test_vectors = np.ascontiguousarray(pts[perm[n_train:]])
+        self.metadata["surrogate"] = True
+        self.metadata["surrogate_for"] = "glove50"
         self.ground_truth = compute_ground_truth(
             self.train_vectors, self.test_vectors, self._gt_k(), self.metric
         )

@@ -31,6 +31,7 @@ from vectordb_retrieval_tpu.models.base import (
     register_indexer,
     register_searcher,
 )
+from vectordb_retrieval_tpu.data.storage import corpus_to_device
 from vectordb_retrieval_tpu.ops import distances as dops
 from vectordb_retrieval_tpu.ops import ivf as ivfops
 from vectordb_retrieval_tpu.ops import pq as pqops
@@ -114,8 +115,9 @@ class FactoryIndexer(BaseIndexer):
 
     def build(self, vectors: np.ndarray, dimension: int) -> IndexArtifact:
         spec = parse_index_key(self.index_key)
-        x_np = np.ascontiguousarray(vectors, dtype=np.float32)
-        x = jnp.asarray(x_np)
+        # memmap/BigStore inputs stream to device in bounded chunks
+        # (data/storage.py); host RSS stays O(chunk) for >RAM corpora.
+        x = corpus_to_device(vectors)
         if self.metric == "cosine":
             x = dops.normalize(x)
         n, d = x.shape

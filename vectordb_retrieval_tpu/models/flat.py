@@ -21,6 +21,7 @@ from vectordb_retrieval_tpu.models.base import (
     register_indexer,
     register_searcher,
 )
+from vectordb_retrieval_tpu.data.storage import corpus_to_device
 from vectordb_retrieval_tpu.ops import distances as dops
 
 
@@ -34,8 +35,9 @@ class BruteForceIndexer(BaseIndexer):
     """
 
     def build(self, vectors: np.ndarray, dimension: int) -> IndexArtifact:
-        x = np.ascontiguousarray(vectors, dtype=np.float32)
-        dev = jax.device_put(jnp.asarray(x))
+        # memmap/BigStore corpora stream to device chunk-by-chunk
+        # (data/storage.corpus_to_device) — host RSS stays O(chunk).
+        dev = corpus_to_device(vectors)
         if self.metric == "cosine":
             dev = dops.normalize(dev)
         sqn = dops.sq_norms(dev) if self.metric == "l2" else None
@@ -48,7 +50,7 @@ class BruteForceIndexer(BaseIndexer):
             metadata={
                 "metric": self.metric,
                 "dimension": int(dimension),
-                "n_vectors": int(x.shape[0]),
+                "n_vectors": int(dev.shape[0]),
                 "normalize_queries": self.metric == "cosine",
             },
         )
