@@ -1,0 +1,137 @@
+"""Sharded graph search on the virtual 8-device mesh."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from vectordb_retrieval_tpu.bench.metrics import recall_at_k
+from vectordb_retrieval_tpu.parallel import (
+    build_sharded_graph,
+    make_mesh,
+    sharded_graph_search,
+)
+
+
+def test_sharded_graph_recall(rng):
+    x = rng.standard_normal((4000, 32)).astype(np.float32)
+    q = rng.standard_normal((16, 32)).astype(np.float32)
+    full = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(full, axis=1)[:, :10]
+
+    mesh = make_mesh(8)
+    data, meta = build_sharded_graph(x, mesh, M=8, seed=3)
+    assert meta["n_shards"] == 8
+    d, i = sharded_graph_search(
+        jnp.asarray(q), data, x.shape[0], 10, mesh, ef=128
+    )
+    i = np.asarray(i)
+    assert ((i >= -1) & (i < x.shape[0])).all()
+    # 8 independent 500-row graphs with wide beams: high recall
+    assert recall_at_k(gt, i, 10) > 0.85
+
+
+def test_sharded_graph_ragged_rows(rng):
+    """N not divisible by n_shards: sentinel rows must never surface."""
+    x = rng.standard_normal((1003, 16)).astype(np.float32)
+    mesh = make_mesh(8)
+    data, _ = build_sharded_graph(x, mesh, M=4, seed=1)
+    q = jnp.asarray(x[-8:])  # includes rows in the ragged final shard
+    d, i = sharded_graph_search(q, data, x.shape[0], 5, mesh, ef=64)
+    i = np.asarray(i)
+    d = np.asarray(d)
+    assert (i < x.shape[0]).all()
+    finite = np.isfinite(d)
+    assert (i[finite] >= 0).all()
+    # self-retrieval: each query's own row is its nearest neighbour
+    assert list(i[:, 0]) == list(range(1003 - 8, 1003))
+
+
+def test_sharded_graph_model_layer(rng):
+    """ShardedGraphIndexer + ANNSearcher end-to-end via CompositeAlgorithm."""
+    from vectordb_retrieval_tpu.models.composite import CompositeAlgorithm
+
+    x = rng.standard_normal((2000, 24)).astype(np.float32)
+    q = rng.standard_normal((8, 24)).astype(np.float32)
+    full = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(full, axis=1)[:, :5]
+
+    algo = CompositeAlgorithm(
+        dimension=24,
+        indexer={"type": "ShardedGraphIndexer", "M": 8},
+        searcher={"type": "ANNSearcher", "efSearch": 100},
+        metric="l2",
+    )
+    algo.build_index(x)
+    _, ids = algo.batch_search(q, 5)
+    assert recall_at_k(gt, ids, 5) > 0.8
+
+
+def test_sharded_ivf_model_layer(rng):
+    """ShardedIVFIndexer end-to-end for each payload coding."""
+    from vectordb_retrieval_tpu.models.composite import CompositeAlgorithm
+
+    x = rng.standard_normal((2000, 24)).astype(np.float32)
+    q = rng.standard_normal((8, 24)).astype(np.float32)
+    full = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(full, axis=1)[:, :5]
+
+    for key, floor in (
+        ("IVF8,Flat", 0.95),
+        ("IVF8,SQ8", 0.9),
+        ("IVF8,PQ12", 0.4),
+    ):
+        algo = CompositeAlgorithm(
+            dimension=24,
+            indexer={"type": "ShardedIVFIndexer", "index_key": key},
+            searcher={"type": "ANNSearcher", "nprobe": 8},
+            metric="l2",
+        )
+        algo.build_index(x)
+        _, ids = algo.batch_search(q, 5)
+        assert recall_at_k(gt, ids, 5) > floor, key
+
+
+def test_sharded_ivf_persistence_reshards(tmp_path, rng):
+    """Save -> load -> ANNSearcher.attach re-shards over current devices."""
+    from vectordb_retrieval_tpu.models.composite import CompositeAlgorithm
+
+    x = rng.standard_normal((800, 16)).astype(np.float32)
+    q = rng.standard_normal((8, 16)).astype(np.float32)
+    make = lambda: CompositeAlgorithm(
+        dimension=16,
+        indexer={"type": "ShardedIVFIndexer", "index_key": "IVF4,SQ8"},
+        searcher={"type": "ANNSearcher", "nprobe": 4},
+        metric="l2",
+    )
+    algo = make()
+    algo.build_index(x)
+    d0, i0 = algo.batch_search(q, 5)
+    path = str(tmp_path / "idx")
+    algo.save_index(path)
+    algo2 = make()
+    algo2.load_index(path)
+    d1, i1 = algo2.batch_search(q, 5)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_graph_persistence_reshards(tmp_path, rng):
+    from vectordb_retrieval_tpu.models.composite import CompositeAlgorithm
+
+    x = rng.standard_normal((640, 16)).astype(np.float32)
+    q = rng.standard_normal((8, 16)).astype(np.float32)
+    make = lambda: CompositeAlgorithm(
+        dimension=16,
+        indexer={"type": "ShardedGraphIndexer", "M": 4},
+        searcher={"type": "ANNSearcher", "efSearch": 32},
+        metric="l2",
+    )
+    algo = make()
+    algo.build_index(x)
+    d0, i0 = algo.batch_search(q, 5)
+    path = str(tmp_path / "idx")
+    algo.save_index(path)
+    algo2 = make()
+    algo2.load_index(path)
+    d1, i1 = algo2.batch_search(q, 5)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-5)

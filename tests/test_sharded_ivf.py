@@ -37,3 +37,65 @@ def test_sharded_ivf_global_ids(rng):
     d, i = sharded_ivf_flat_search(q, data, 1, 4, mesh)
     # self-retrieval across shard boundaries proves global id mapping
     assert list(np.asarray(i)[:, 0]) == list(range(8))
+
+
+def test_sharded_ivf_sq8_recall(rng):
+    from vectordb_retrieval_tpu.parallel import (
+        build_sharded_ivf_coded,
+        sharded_ivf_coded_search,
+    )
+
+    x = rng.standard_normal((4000, 32)).astype(np.float32)
+    q = rng.standard_normal((16, 32)).astype(np.float32)
+    full = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(full, axis=1)[:, :10]
+
+    mesh = make_mesh(8)
+    data, meta = build_sharded_ivf_coded(x, mesh, nlist=8, coding="sq8", seed=3)
+    assert meta["coding"] == "sq8"
+    d, i = sharded_ivf_coded_search(
+        jnp.asarray(q), data, 10, 8, mesh, coding="sq8"
+    )
+    # all-probe SQ8: near-exact (8-bit quantisation noise only)
+    assert recall_at_k(gt, np.asarray(i), 10) > 0.95
+    d2, i2 = sharded_ivf_coded_search(
+        jnp.asarray(q), data, 10, 3, mesh, coding="sq8"
+    )
+    assert recall_at_k(gt, np.asarray(i2), 10) > 0.6
+
+
+def test_sharded_ivf_pq_recall(rng):
+    from vectordb_retrieval_tpu.parallel import (
+        build_sharded_ivf_coded,
+        sharded_ivf_coded_search,
+    )
+
+    x = rng.standard_normal((4000, 32)).astype(np.float32)
+    q = rng.standard_normal((16, 32)).astype(np.float32)
+    full = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(full, axis=1)[:, :10]
+
+    mesh = make_mesh(8)
+    data, meta = build_sharded_ivf_coded(
+        x, mesh, nlist=8, coding="pq", m=16, seed=3
+    )
+    d, i = sharded_ivf_coded_search(
+        jnp.asarray(q), data, 10, 8, mesh, coding="pq"
+    )
+    # PQ16 on 32d residuals: lossy but well above chance
+    assert recall_at_k(gt, np.asarray(i), 10) > 0.5
+
+
+def test_sharded_coded_global_ids(rng):
+    from vectordb_retrieval_tpu.parallel import (
+        build_sharded_ivf_coded,
+        sharded_ivf_coded_search,
+    )
+
+    x = rng.standard_normal((1000, 16)).astype(np.float32)
+    mesh = make_mesh(8)
+    data, _ = build_sharded_ivf_coded(x, mesh, nlist=4, coding="sq8", seed=1)
+    q = jnp.asarray(x[:8])
+    d, i = sharded_ivf_coded_search(q, data, 1, 4, mesh, coding="sq8")
+    # self-retrieval across shard boundaries proves global id mapping
+    assert list(np.asarray(i)[:, 0]) == list(range(8))

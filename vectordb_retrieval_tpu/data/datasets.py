@@ -40,11 +40,22 @@ def compute_ground_truth(
     """Exact top-k ground truth via the device MXU scan (ids only).
 
     ``train`` may be an ndarray, ``np.memmap`` or ``BigStore`` — out-of-core
-    sources stream to device in bounded chunks (data/storage.py)."""
+    sources run the fully streaming scan (O(chunk) host AND device memory,
+    same cancellation-free rescore; data/storage.streamed_exact_search)."""
     import jax.numpy as jnp
 
-    from vectordb_retrieval_tpu.data.storage import corpus_to_device
+    from vectordb_retrieval_tpu.data.storage import (
+        is_out_of_core,
+        streamed_exact_search,
+    )
     from vectordb_retrieval_tpu.ops import distances as dops
+
+    if is_out_of_core(train) and metric == "l2" and not normalize:
+        k = min(k, train.shape[0])
+        _, ids = streamed_exact_search(queries, train, k, metric="l2")
+        return np.asarray(ids, dtype=np.int64)
+
+    from vectordb_retrieval_tpu.data.storage import corpus_to_device
 
     x = corpus_to_device(train)
     q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))

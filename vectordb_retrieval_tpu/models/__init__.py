@@ -24,6 +24,7 @@ from vectordb_retrieval_tpu.models import flat  # noqa: F401,E402
 from vectordb_retrieval_tpu.models import factory  # noqa: F401,E402
 from vectordb_retrieval_tpu.models import lsh as _lsh  # noqa: E402
 from vectordb_retrieval_tpu.models import graph as _graph  # noqa: E402
+from vectordb_retrieval_tpu.models import sharded as _sharded  # noqa: E402
 from vectordb_retrieval_tpu.models.composite import CompositeAlgorithm  # noqa: E402
 from vectordb_retrieval_tpu.models.exact import ExactSearch  # noqa: E402
 from vectordb_retrieval_tpu.models.approximate import ApproximateSearch  # noqa: E402

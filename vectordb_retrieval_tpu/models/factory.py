@@ -115,6 +115,18 @@ class FactoryIndexer(BaseIndexer):
 
     def build(self, vectors: np.ndarray, dimension: int) -> IndexArtifact:
         spec = parse_index_key(self.index_key)
+        # Out-of-core corpora with compressed payloads build fully
+        # streaming (sample-trained quantizers + chunked encode): neither
+        # host nor device ever holds the raw corpus — the >RAM/>HBM path.
+        from vectordb_retrieval_tpu.data.storage import is_out_of_core
+
+        if (
+            is_out_of_core(vectors)
+            and spec["nlist"] is not None
+            and spec["coding"] in ("pq", "sq8")
+            and not spec["opq"]
+        ):
+            return self._build_ivf_stream(vectors, spec)
         # memmap/BigStore inputs stream to device in bounded chunks
         # (data/storage.py); host RSS stays O(chunk) for >RAM corpora.
         x = corpus_to_device(vectors)
@@ -186,6 +198,125 @@ class FactoryIndexer(BaseIndexer):
             "code_sqnorms": sqn,
         }
         return IndexArtifact("sq8", jax.block_until_ready(data), meta)
+
+    # -- out-of-core IVF (streamed build, compressed payload) ------------
+    def _build_ivf_stream(
+        self, store, spec: Dict[str, Any], chunk_rows: int = 262_144
+    ) -> IndexArtifact:
+        """IVF-PQ / IVF-SQ8 build over an out-of-core corpus.
+
+        Quantizers (coarse k-means; PQ codebooks / SQ ranges) train on an
+        evenly-spaced row sample — FAISS semantics, which also trains on a
+        sample (reference approximate_search.py trains via index.train on
+        the provided set). The corpus then streams through the device one
+        chunk at a time for assignment + encoding; only the codes (4-32x
+        smaller) are retained. Peak host AND device memory is
+        O(chunk + codes), independent of corpus size.
+        """
+        from vectordb_retrieval_tpu.data.storage import _read_chunk
+
+        n, d = (int(s) for s in store.shape)
+        nlist = min(spec["nlist"], n)
+        meta: Dict[str, Any] = {
+            "metric": self.metric,
+            "dimension": d,
+            "n_vectors": n,
+            "normalize_queries": self.metric == "cosine",
+            "index_key": self.index_key,
+            "nprobe": self.nprobe,
+            "built_streaming": True,
+        }
+
+        def prep(host: np.ndarray) -> jax.Array:
+            dev = jnp.asarray(
+                np.ascontiguousarray(host, dtype=np.float32)
+            )
+            return dops.normalize(dev) if self.metric == "cosine" else dev
+
+        # evenly spaced sample blocks for quantizer training
+        target = min(n, max(nlist * 32, 65_536))
+        block = 4096
+        n_blocks = max(1, -(-target // block))
+        stride = max(1, n // n_blocks)
+        parts = [
+            _read_chunk(store, s, min(s + block, n))
+            for s in range(0, n, stride)
+        ]
+        sample = prep(np.concatenate(parts)[:target])
+        del parts
+        centroids, _ = kmeans_fit(
+            sample, nlist, seed=self.seed, iters=self.train_iters
+        )
+
+        if spec["coding"] == "pq":
+            m = spec["m"]
+            meta["m"] = m
+            s_assign = kmeans_assign(sample, centroids)
+            codebooks = pqops.pq_train(
+                sample - centroids[s_assign], m,
+                seed=self.seed + 1, iters=self.train_iters,
+            )
+            code_w = m
+        else:
+            vmin, step = sqops.sq_train(sample)
+            code_w = d
+        del sample
+
+        codes_np = np.empty((n, code_w), dtype=np.uint8)
+        sqn_np = np.empty((n,), dtype=np.float32)
+        assign_np = np.empty((n,), dtype=np.int32)
+        for start in range(0, n, chunk_rows):
+            stop = min(start + chunk_rows, n)
+            dev = prep(_read_chunk(store, start, stop))
+            a = kmeans_assign(dev, centroids)
+            if spec["coding"] == "pq":
+                residuals = dev - centroids[a]
+                c = pqops.pq_encode(residuals, codebooks)
+                sn = pqops.pq_code_sqnorms(c, codebooks)
+            else:
+                c = sqops.sq_encode(dev, vmin, step)
+                x_hat = sqops.sq_decode(c, vmin, step)
+                sn = jnp.sum(x_hat * x_hat, axis=-1)
+            codes_np[start:stop] = np.asarray(c)
+            sqn_np[start:stop] = np.asarray(sn)
+            assign_np[start:stop] = np.asarray(a)
+            del dev
+
+        slot_ids_np, bucket_lists_np, pad_ratio = ivfops.build_bucketed_lists(
+            assign_np, nlist
+        )
+        safe = np.where(slot_ids_np >= 0, slot_ids_np, 0)
+        meta.update(
+            {
+                "nlist": int(nlist),
+                "n_buckets": int(slot_ids_np.shape[0]),
+                "pad_ratio": pad_ratio,
+                "max_list_len": int(slot_ids_np.shape[1]),
+            }
+        )
+        bucket_lists = jnp.asarray(bucket_lists_np)
+        # free each host copy as soon as its device gather lands: the codes
+        # array is the dominant host allocation at big N (corpus/4-32) and
+        # keeping source + gather + device copy alive triples it
+        list_codes = jnp.asarray(codes_np[safe])
+        del codes_np
+        list_sqn = jnp.asarray(sqn_np[safe])
+        del sqn_np, safe
+        data: Dict[str, Any] = {
+            "centroids": centroids[bucket_lists],
+            "bucket_lists": bucket_lists,
+            "slot_ids": jnp.asarray(slot_ids_np),
+            "list_codes": list_codes,
+            "list_sqnorms": list_sqn,
+        }
+        if spec["coding"] == "pq":
+            data["codebooks"] = codebooks
+            kind = "ivf_pq"
+        else:
+            data["vmin"] = vmin
+            data["step"] = step
+            kind = "ivf_sq8"
+        return IndexArtifact(kind, jax.block_until_ready(data), meta)
 
     # -- IVF variants ----------------------------------------------------
     def _build_ivf(
@@ -283,7 +414,8 @@ class ANNSearcher(BaseSearcher):
 
     SUPPORTED = (
         "flat", "pq", "sq8", "ivf_flat", "ivf_pq", "ivf_sq8", "binary_lsh",
-        "graph",
+        "graph", "ivf_flat_sharded", "ivf_pq_sharded", "ivf_sq8_sharded",
+        "graph_sharded",
     )
 
     def attach(self, artifact: IndexArtifact) -> None:
@@ -291,6 +423,11 @@ class ANNSearcher(BaseSearcher):
             raise ValueError(
                 f"ANNSearcher cannot serve artifact kind {artifact.kind!r}"
             )
+        if artifact.kind.endswith("_sharded") and not hasattr(artifact, "mesh"):
+            # loaded from disk: re-shard over the current devices
+            from vectordb_retrieval_tpu.models.sharded import reshard_artifact
+
+            reshard_artifact(artifact)
         self.artifact = artifact
 
     def _nprobe(self) -> int:
@@ -363,6 +500,28 @@ class ANNSearcher(BaseSearcher):
                 self.params.get("efSearch", meta.get("efSearch", 100))
             )
             dists, ids = graph_artifact_search(art, q, eff_k, metric, ef)
+        elif kind.endswith("_sharded"):
+            from vectordb_retrieval_tpu import parallel as par
+
+            mesh = art.mesh
+            if kind == "ivf_flat_sharded":
+                dists, ids = par.sharded_ivf_flat_search(
+                    q, d, eff_k, self._nprobe(), mesh, metric=metric
+                )
+            elif kind == "graph_sharded":
+                ef = int(
+                    self.params.get("efSearch", meta.get("efSearch", 100))
+                )
+                dists, ids = par.sharded_graph_search(
+                    q, d, meta["n_vectors"], eff_k, mesh,
+                    ef=max(int(ef * 1.25), eff_k + 8, 16), metric=metric,
+                )
+            else:  # ivf_pq_sharded / ivf_sq8_sharded
+                dists, ids = par.sharded_ivf_coded_search(
+                    q, d, eff_k, self._nprobe(), mesh,
+                    coding="pq" if kind == "ivf_pq_sharded" else "sq8",
+                    metric=metric,
+                )
         elif kind == "binary_lsh":
             from vectordb_retrieval_tpu.models.lsh import binary_lsh_search
 

@@ -1,0 +1,150 @@
+"""Sharded graph (HNSW-class) search: one beam-search graph per chip.
+
+The distributed-graph scale-out story (SURVEY.md section 2.3 breadth): the
+database rows are split contiguously over the mesh's ``db`` axis, each
+device builds an independent kNN graph + entry-point set over its shard
+(ops/graph.py — same kernels as the single-chip family), queries fan out
+to every shard inside ``shard_map``, each shard runs the sort-free beam
+locally, local ids shift to global row ids by the shard offset, and the
+per-shard top-k lists merge with the shared ``all_gather`` + top-k
+collective (parallel/sharded_ivf.gather_merge).
+
+Per-shard graphs sidestep the cross-device edges a single global graph
+would need (every beam hop would be a remote gather over ICI); the merge
+costs one k-wide collective per query batch instead. This mirrors how
+sharded HNSW deployments actually scale (per-shard indexes + scatter/
+gather), re-expressed as SPMD collectives instead of RPC fan-out.
+
+Shards are padded to equal row counts with +inf-norm sentinel rows so the
+stacked arrays are static-shaped; sentinels never enter the graph (their
+adjacency is self-loops and entry sets exclude them) and the final merge
+masks any id >= n_total.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vectordb_retrieval_tpu.ops import graph as gops
+from vectordb_retrieval_tpu.parallel.sharded_ivf import gather_merge
+
+
+def build_sharded_graph(
+    x: np.ndarray,
+    mesh: Mesh,
+    M: int = 16,
+    seed: int = 42,
+    axis: str = "db",
+):
+    """Per-shard kNN-graph build; returns device-sharded arrays + metadata."""
+    n_shards = mesh.shape[axis]
+    n, d = x.shape
+    per = -(-n // n_shards)
+    degree = min(2 * M, max(per - 1, 1))
+    n_entry = min(2048, max(16, per // 10))
+
+    vec_stack = np.zeros((n_shards, per, d), dtype=np.float32)
+    sqn_stack = np.full((n_shards, per), np.inf, dtype=np.float32)
+    adj_stack = np.zeros((n_shards, per, degree), dtype=np.int32)
+    ent_stack = np.full((n_shards, n_entry), -1, dtype=np.int32)
+    for s in range(n_shards):
+        lo, hi = s * per, min((s + 1) * per, n)
+        rows = hi - lo
+        xs = jnp.asarray(x[lo:hi])
+        adjacency = gops.build_knn_graph(xs, min(degree, max(rows - 1, 1)))
+        entries = gops.pick_entry_points(
+            xs, min(n_entry, rows), seed=seed + s
+        )
+        vec_stack[s, :rows] = x[lo:hi]
+        sqn_stack[s, :rows] = (x[lo:hi] ** 2).sum(axis=1)
+        a = np.asarray(adjacency)
+        adj_stack[s, :rows, : a.shape[1]] = a
+        if a.shape[1] < degree:  # degree-clamped tiny shard: self-loops pad
+            adj_stack[s, :rows, a.shape[1]:] = np.arange(rows)[:, None]
+        # sentinel rows point at themselves so a stray hop cannot escape
+        if rows < per:
+            adj_stack[s, rows:] = np.arange(rows, per)[:, None]
+        e = np.asarray(entries)
+        ent_stack[s, : e.shape[0]] = e
+
+    sh = lambda a: jax.device_put(
+        jnp.asarray(a), NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1))))
+    )
+    return {
+        "vectors": sh(vec_stack),
+        "sqnorms": sh(sqn_stack),
+        "adjacency": sh(adj_stack),
+        "entry_ids": sh(ent_stack),
+    }, {
+        "n_shards": n_shards,
+        "rows_per_shard": per,
+        "degree": degree,
+        "n_entry": n_entry,
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_total", "k", "ef", "metric", "mesh", "axis"),
+)
+def sharded_graph_search(
+    queries: jax.Array,
+    data: dict,
+    n_total: int,
+    k: int,
+    mesh: Mesh,
+    ef: int = 64,
+    metric: str = "l2",
+    axis: str = "db",
+) -> Tuple[jax.Array, jax.Array]:
+    """Fan-out beam search per shard + all_gather candidate merge."""
+    per = data["vectors"].shape[1]
+    degree = data["adjacency"].shape[2]
+    eff_k = min(k, per)
+    # same beam geometry as the single-chip serving path
+    # (models/graph.graph_artifact_search), sized by the SHARD row count
+    ef_l = min(max(ef, eff_k + 8, 16), per)
+    expand = max(8, min(ef_l, 1536 // max(degree, 1)))
+    keep = max(eff_k, (3 * ef_l) // 4)
+    iters = 3 + (per > 50_000) + (per > 500_000)
+    iters = max(iters, -(-ef_l // keep) + 1)
+
+    def local(q, vecs, sqns, adj, entries):
+        d, i = gops.graph_search(
+            q, vecs[0], adj[0], entries[0], eff_k,
+            ef=ef_l, expand=expand, iters=iters, metric=metric,
+            sqnorms=sqns[0], cand_keep=keep,
+        )
+        offset = jax.lax.axis_index(axis).astype(jnp.int32) * per
+        gid = jnp.where(i >= 0, i + offset, -1)
+        valid = (gid >= 0) & (gid < n_total)
+        d = jnp.where(valid, d, jnp.inf)
+        gid = jnp.where(valid, gid, -1)
+        return gather_merge(d, gid, axis, eff_k)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(axis, None, None),
+            P(axis, None),
+            P(axis, None, None),
+            P(axis, None),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(
+        queries,
+        data["vectors"],
+        data["sqnorms"],
+        data["adjacency"],
+        data["entry_ids"],
+    )

@@ -24,7 +24,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vectordb_retrieval_tpu.ops import distances as dops
 from vectordb_retrieval_tpu.ops import ivf as ivfops
+from vectordb_retrieval_tpu.ops import pq as pqops
+from vectordb_retrieval_tpu.ops import sq as sqops
 from vectordb_retrieval_tpu.ops.kmeans import kmeans_assign, kmeans_fit
+
+
+def gather_merge(d: jax.Array, i: jax.Array, axis: str, k: int):
+    """Inside shard_map: all_gather per-shard top-k and reduce to global
+    top-k (the shared ICI collective shape of every sharded searcher)."""
+    all_d = jax.lax.all_gather(d, axis)  # [P, B, k]
+    all_i = jax.lax.all_gather(i, axis)
+    p = all_d.shape[0]
+    b = d.shape[0]
+    cat_d = jnp.transpose(all_d, (1, 0, 2)).reshape(b, p * k)
+    cat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, p * k)
+    md, sel = dops.top_k_smallest(cat_d, k)
+    return md, jnp.take_along_axis(cat_i, sel, axis=1)
 
 
 def build_sharded_ivf_flat(
@@ -109,14 +124,7 @@ def sharded_ivf_flat_search(
         d, i = ivfops.ivf_flat_search(
             q, cents[0], slots[0], vecs[0], sqns[0], k, nprobe, metric=metric
         )
-        all_d = jax.lax.all_gather(d, axis)  # [P, B, k]
-        all_i = jax.lax.all_gather(i, axis)
-        p = all_d.shape[0]
-        b = q.shape[0]
-        cat_d = jnp.transpose(all_d, (1, 0, 2)).reshape(b, p * k)
-        cat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, p * k)
-        md, sel = dops.top_k_smallest(cat_d, k)
-        return md, jnp.take_along_axis(cat_i, sel, axis=1)
+        return gather_merge(d, i, axis, k)
 
     fn = jax.shard_map(
         local,
@@ -138,3 +146,156 @@ def sharded_ivf_flat_search(
         data["list_vecs"],
         data["list_sqnorms"],
     )
+
+
+def build_sharded_ivf_coded(
+    x: np.ndarray,
+    mesh: Mesh,
+    nlist: int,
+    coding: str = "sq8",
+    m: int = 8,
+    seed: int = 123,
+    train_iters: int = 20,
+    axis: str = "db",
+):
+    """Per-shard IVF with quantized (PQ residual / SQ8) list payloads.
+
+    Same scale-out shape as :func:`build_sharded_ivf_flat` — one
+    independent coarse index per row shard, global slot ids — but each
+    shard stores codes instead of raw vectors and trains its OWN
+    quantizer (PQ codebooks on local residuals / local SQ ranges), which
+    is how distributed ANN deployments shard quantized indexes: the
+    quantizer adapts to the local distribution and no cross-shard
+    codebook sync is needed.
+    """
+    if coding not in ("pq", "sq8"):
+        raise ValueError(f"coding must be 'pq' or 'sq8', got {coding!r}")
+    n_shards = mesh.shape[axis]
+    n, d = x.shape
+    per = -(-n // n_shards)
+    shards = []
+    max_len = 0
+    for s in range(n_shards):
+        lo, hi = s * per, min((s + 1) * per, n)
+        xs = jnp.asarray(x[lo:hi])
+        local_nlist = min(nlist, max(hi - lo, 1))
+        centroids, _ = kmeans_fit(
+            xs, local_nlist, seed=seed + s, iters=train_iters
+        )
+        assign_dev = kmeans_assign(xs, centroids)
+        assign = np.asarray(assign_dev)
+        slot_ids, _, _ = ivfops.build_padded_lists(assign, local_nlist)
+        safe = np.where(slot_ids >= 0, slot_ids, 0)
+        if coding == "pq":
+            residuals = xs - centroids[assign_dev]
+            # small shards cannot support the full 256-codeword codebooks
+            ksub = min(256, int(xs.shape[0]))
+            codebooks = pqops.pq_train(
+                residuals, m, ksub=ksub, seed=seed + s, iters=train_iters
+            )
+            codes = np.asarray(pqops.pq_encode(residuals, codebooks))
+            sqn = np.asarray(pqops.pq_code_sqnorms(
+                jnp.asarray(codes), codebooks
+            ))
+            extras = {"codebooks": np.asarray(codebooks)}
+        else:
+            vmin, step = sqops.sq_train(xs)
+            codes_dev = sqops.sq_encode(xs, vmin, step)
+            x_hat = sqops.sq_decode(codes_dev, vmin, step)
+            codes = np.asarray(codes_dev)
+            sqn = np.asarray(jnp.sum(x_hat * x_hat, axis=-1))
+            extras = {"vmin": np.asarray(vmin), "step": np.asarray(step)}
+        slot_global = np.where(slot_ids >= 0, slot_ids + lo, -1)
+        shards.append(
+            (np.asarray(centroids), slot_global, codes[safe], sqn[safe], extras)
+        )
+        max_len = max(max_len, slot_ids.shape[1])
+
+    code_w = shards[0][2].shape[-1]  # m (pq) or d (sq8)
+    code_dt = shards[0][2].dtype
+    cent_stack = np.full((n_shards, nlist, d), 1e9, dtype=np.float32)
+    slot_stack = np.full((n_shards, nlist, max_len), -1, dtype=np.int32)
+    code_stack = np.zeros((n_shards, nlist, max_len, code_w), dtype=code_dt)
+    sqn_stack = np.zeros((n_shards, nlist, max_len), dtype=np.float32)
+    extra_stacks: dict = {}
+    for s, (cents, slot_g, codes_l, sqn_l, extras) in enumerate(shards):
+        ln, ml = slot_g.shape
+        cent_stack[s, :ln] = cents
+        slot_stack[s, :ln, :ml] = slot_g
+        code_stack[s, :ln, :ml] = codes_l
+        sqn_stack[s, :ln, :ml] = sqn_l
+        for key, val in extras.items():
+            extra_stacks.setdefault(key, []).append(val)
+
+    sh = lambda a: jax.device_put(
+        jnp.asarray(a), NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1))))
+    )
+    data = {
+        "centroids": sh(cent_stack),
+        "slot_ids": sh(slot_stack),
+        "list_codes": sh(code_stack),
+        "list_sqnorms": sh(sqn_stack),
+    }
+    for key, vals in extra_stacks.items():
+        data[key] = sh(np.stack(vals))
+    return data, {
+        "nlist": nlist,
+        "max_list_len": max_len,
+        "n_shards": n_shards,
+        "coding": coding,
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "metric", "mesh", "axis", "coding"),
+)
+def sharded_ivf_coded_search(
+    queries: jax.Array,
+    data: dict,
+    k: int,
+    nprobe: int,
+    mesh: Mesh,
+    coding: str = "sq8",
+    metric: str = "l2",
+    axis: str = "db",
+) -> Tuple[jax.Array, jax.Array]:
+    """Fan-out quantized probe scan per shard + all_gather merge."""
+    if coding == "pq":
+
+        def local(q, cents, slots, codes, sqns, cbs):
+            d, i = ivfops.ivf_pq_search(
+                q, cents[0], slots[0], codes[0], sqns[0], cbs[0],
+                k, nprobe, metric=metric,
+            )
+            return gather_merge(d, i, axis, k)
+
+        operands = (
+            data["centroids"], data["slot_ids"], data["list_codes"],
+            data["list_sqnorms"], data["codebooks"],
+        )
+    else:
+
+        def local(q, cents, slots, codes, sqns, vmin, step):
+            d, i = ivfops.ivf_sq_search(
+                q, cents[0], slots[0], codes[0], sqns[0], vmin[0], step[0],
+                k, nprobe, metric=metric,
+            )
+            return gather_merge(d, i, axis, k)
+
+        operands = (
+            data["centroids"], data["slot_ids"], data["list_codes"],
+            data["list_sqnorms"], data["vmin"], data["step"],
+        )
+
+    specs = tuple(
+        P(axis, *([None] * (op.ndim - 1))) for op in operands
+    )
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(),) + specs,
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, *operands)
