@@ -72,3 +72,28 @@ def test_graph_persistence_roundtrip(tmp_path, rng):
     algo2.load_index(str(tmp_path / "g"), {"dataset_fingerprint": "f"})
     d1, i1 = algo2.batch_search(q, 5)
     assert np.array_equal(i0, i1)
+
+
+def test_ivf_build_method_recall(rng):
+    """IVF-probe candidate generation: graph quality stays near exact-build."""
+    import jax.numpy as jnp
+
+    from vectordb_retrieval_tpu.bench.metrics import recall_at_k
+    from vectordb_retrieval_tpu.ops import graph as gops
+
+    x = rng.standard_normal((4000, 32)).astype(np.float32)
+    q = rng.standard_normal((16, 32)).astype(np.float32)
+    full = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(full, axis=1)[:, :10]
+
+    xd = jnp.asarray(x)
+    adj = gops.build_knn_graph(xd, 16, method="ivf", build_nprobe=8,
+                               build_nlist=32)
+    assert adj.shape == (4000, 16)
+    assert ((np.asarray(adj) >= 0) & (np.asarray(adj) < 4000)).all()
+    entries = gops.pick_entry_points(xd, 64, seed=0)
+    d, i = gops.graph_search(
+        jnp.asarray(q), xd, adj, entries, 10, ef=96, expand=16, iters=4,
+        metric="l2", cand_keep=64,
+    )
+    assert recall_at_k(gt, np.asarray(i), 10) > 0.85

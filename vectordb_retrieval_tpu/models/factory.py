@@ -295,13 +295,20 @@ class FactoryIndexer(BaseIndexer):
             }
         )
         bucket_lists = jnp.asarray(bucket_lists_np)
-        # free each host copy as soon as its device gather lands: the codes
-        # array is the dominant host allocation at big N (corpus/4-32) and
-        # keeping source + gather + device copy alive triples it
-        list_codes = jnp.asarray(codes_np[safe])
+        # Strict lifetime ordering for the bucket-layout gather: the codes
+        # array is the dominant allocation at big N (corpus/4-32), so at
+        # most TWO copies of it may coexist (source+gathered, then
+        # gathered+device) — never three. (A device-side gather was tried
+        # and reverted: XLA:CPU gather temporaries more than doubled peak
+        # RSS at 12M rows.)
+        list_codes_np = codes_np[safe]
         del codes_np
-        list_sqn = jnp.asarray(sqn_np[safe])
+        list_codes = jnp.asarray(list_codes_np)
+        del list_codes_np
+        list_sqn_np = sqn_np[safe]
         del sqn_np, safe
+        list_sqn = jnp.asarray(list_sqn_np)
+        del list_sqn_np
         data: Dict[str, Any] = {
             "centroids": centroids[bucket_lists],
             "bucket_lists": bucket_lists,
