@@ -66,7 +66,10 @@ def main() -> int:
     from vectordb_retrieval_tpu.data.datasets import Dataset
     from vectordb_retrieval_tpu.data.storage import peak_rss_bytes
     from vectordb_retrieval_tpu.models.composite import CompositeAlgorithm
-    from vectordb_retrieval_tpu.utils.compat import enable_compilation_cache
+    from vectordb_retrieval_tpu.utils.compat import (
+        enable_compilation_cache,
+        trim_host_heap,
+    )
 
     enable_compilation_cache()
     corpus_bytes = args.rows * args.dim * 4
@@ -93,6 +96,7 @@ def main() -> int:
     ).load()
     t_data = time.perf_counter() - t0
     assert isinstance(ds.train_vectors, np.memmap)
+    trim_host_heap()  # phase boundary: return freed staging arenas
     rss_data = peak_rss_bytes() or 0
     print(
         f"dataset+GT {t_data:.1f}s, peak RSS {rss_data / 2**20:.0f} MB",
@@ -111,6 +115,7 @@ def main() -> int:
     )
     algo.build_index(ds.train_vectors)
     t_build = time.perf_counter() - t0
+    trim_host_heap()
 
     t0 = time.perf_counter()
     dists, ids = algo.batch_search(ds.test_vectors, args.k)

@@ -295,20 +295,41 @@ class FactoryIndexer(BaseIndexer):
             }
         )
         bucket_lists = jnp.asarray(bucket_lists_np)
-        # Strict lifetime ordering for the bucket-layout gather: the codes
-        # array is the dominant allocation at big N (corpus/4-32), so at
-        # most TWO copies of it may coexist (source+gathered, then
-        # gathered+device) — never three. (A device-side gather was tried
-        # and reverted: XLA:CPU gather temporaries more than doubled peak
-        # RSS at 12M rows.)
-        list_codes_np = codes_np[safe]
+        # Slab-wise device assembly of the bucket layout: a one-shot
+        # `codes_np[safe]` host gather would coexist with the source codes
+        # (2x the dominant allocation at big N). Instead the device buffer
+        # is built slab-by-slab with a donated dynamic_update_slice, so
+        # host overhead beyond the source codes is one ~64 MB slab.
+        # (A whole-array device-side gather was tried and reverted:
+        # XLA:CPU gather temporaries more than doubled peak RSS at 12M.)
+        n_buckets, L = safe.shape
+        slab = max(1, (64 << 20) // max(L * code_w, 1))
+        upd = jax.jit(
+            lambda buf, chunk, s: jax.lax.dynamic_update_slice(
+                buf, chunk, (s,) + (0,) * (buf.ndim - 1)
+            ),
+            donate_argnums=(0,),
+        )
+
+        def assemble(src: np.ndarray, dtype) -> jax.Array:
+            # src is per-ROW ([N, w] codes or [N] norms); the gather adds
+            # the bucket-layout axes -> buf is [n_buckets, L, *row_shape]
+            buf = jax.jit(
+                lambda: jnp.zeros((n_buckets, L) + src.shape[1:], dtype)
+            )()
+            starts = list(range(0, max(n_buckets - slab, 0) + 1, slab))
+            if starts[-1] + slab < n_buckets:
+                starts.append(n_buckets - slab)  # overlapping fixed tail
+            for i, s in enumerate(starts):
+                buf = upd(buf, jnp.asarray(src[safe[s : s + slab]]), np.int32(s))
+                if (i + 1) % 4 == 0:  # cap in-flight staging slabs
+                    jax.block_until_ready(buf)
+            return jax.block_until_ready(buf)
+
+        list_codes = assemble(codes_np, jnp.uint8)
         del codes_np
-        list_codes = jnp.asarray(list_codes_np)
-        del list_codes_np
-        list_sqn_np = sqn_np[safe]
+        list_sqn = assemble(sqn_np, jnp.float32)
         del sqn_np, safe
-        list_sqn = jnp.asarray(list_sqn_np)
-        del list_sqn_np
         data: Dict[str, Any] = {
             "centroids": centroids[bucket_lists],
             "bucket_lists": bucket_lists,

@@ -60,6 +60,7 @@ def build_bucketed_lists(
     nlist: int,
     pad_multiple: int = 8,
     target_len: int = 0,
+    target_len_cap: int = 2048,
 ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Bucketed list layout: ``(slot_ids [n_buckets, L], bucket_lists, pad_ratio)``.
 
@@ -81,6 +82,13 @@ def build_bucketed_lists(
     counts = np.bincount(assignments, minlength=nlist)
     if not target_len:
         target_len = -(-n // max(nlist, 1))
+        # long mean lists (huge-N, modest nlist) split into capped buckets:
+        # with L = n/nlist every BELOW-average list still pays a full
+        # bucket of padding (measured pad 1.59 at 6M random/IVF1024);
+        # capping L bounds that waste at ~nlist*L/n while keeping probe
+        # work identical (same rows, more but shorter buckets)
+        if target_len_cap:
+            target_len = min(target_len, target_len_cap)
     target_len = max(
         pad_multiple, -(-target_len // pad_multiple) * pad_multiple
     )
@@ -359,14 +367,26 @@ def ivf_sq_search(
 ) -> Tuple[jax.Array, jax.Array]:
     probes = _coarse_probes(queries, centroids, nprobe)
     qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
+    # Affine decode folded into the dot:  q . x_hat = q . vmin + (q*step) . c
+    # — the codes go straight into the MXU contraction (uint8 values are
+    # integers <= 255, exactly representable in bf16), so the decoded
+    # [B, L, d] f32 tensor is never materialised: per-probe HBM traffic
+    # drops ~3x (u8 gather + bf16 operand vs u8 gather + f32 decode
+    # write + read). Accumulation stays f32; the TPU matmul would have
+    # taken bf16 inputs either way (CLAUDE.md precision note) and
+    # list_sqnorms are exact f32 from build time.
+    q_scaled = (queries * step[None, :]).astype(jnp.bfloat16)
+    q_vmin = queries @ vmin  # [B]
 
     def score(lists):
-        codes = list_codes[lists]  # [B, L, d]
+        codes = list_codes[lists]  # [B, L, d] uint8
         ids = slot_ids[lists]
-        x_hat = vmin[None, None, :] + codes.astype(jnp.float32) * step[None, None, :]
         dots = jnp.einsum(
-            "bld,bd->bl", x_hat, queries, preferred_element_type=jnp.float32
-        )
+            "bld,bd->bl",
+            codes.astype(jnp.bfloat16),
+            q_scaled,
+            preferred_element_type=jnp.float32,
+        ) + q_vmin[:, None]
         if metric == "l2":
             dist = qn[:, None] + list_sqnorms[lists] - 2.0 * dots
         else:

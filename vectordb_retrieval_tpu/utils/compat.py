@@ -59,3 +59,22 @@ def tpu_available() -> bool:
         return any(d.platform == "tpu" for d in jax.devices())
     except RuntimeError:
         return False
+
+
+def trim_host_heap() -> bool:
+    """Return freed heap arenas to the OS (glibc ``malloc_trim``).
+
+    Big streaming builds churn GBs of short-lived host buffers; glibc
+    keeps the freed arenas resident, so a later phase's allocations stack
+    on top of a stale high-water mark. Trimming at phase boundaries keeps
+    peak RSS tracking LIVE memory. No-op (False) on non-glibc platforms.
+    """
+    import ctypes
+    import gc
+
+    gc.collect()
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+        return bool(libc.malloc_trim(0))
+    except (OSError, AttributeError):
+        return False
