@@ -97,3 +97,38 @@ def test_ivf_build_method_recall(rng):
         metric="l2", cand_keep=64,
     )
     assert recall_at_k(gt, np.asarray(i), 10) > 0.85
+
+
+def test_int8_neighbor_table_recall(rng):
+    """SQ8-coded neighbour table: recall matches the bf16 table closely."""
+    import jax.numpy as jnp
+
+    from vectordb_retrieval_tpu.bench.metrics import recall_at_k
+    from vectordb_retrieval_tpu.models.composite import CompositeAlgorithm
+
+    x = rng.standard_normal((4000, 32)).astype(np.float32)
+    q = rng.standard_normal((16, 32)).astype(np.float32)
+    full = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(full, axis=1)[:, :10]
+
+    def run(dtype):
+        algo = CompositeAlgorithm(
+            dimension=32,
+            indexer={
+                "type": "GraphIndexer", "M": 8, "nbr_table": "on",
+                "nbr_table_dtype": dtype,
+            },
+            searcher={"type": "ANNSearcher", "efSearch": 100},
+            metric="l2",
+        )
+        algo.build_index(x)
+        if dtype == "int8":
+            assert algo.artifact.data["nbr_vecs"].dtype == jnp.uint8
+            assert "nbr_vmin" in algo.artifact.data
+        _, ids = algo.batch_search(q, 10)
+        return recall_at_k(gt, ids, 10)
+
+    r_bf16 = run("bf16")
+    r_int8 = run("int8")
+    assert r_int8 > 0.85
+    assert abs(r_bf16 - r_int8) < 0.05

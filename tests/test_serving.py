@@ -1,0 +1,139 @@
+"""Mutable serving index: add / delete / filter / compaction vs oracle."""
+
+import numpy as np
+import pytest
+
+from vectordb_retrieval_tpu.serving import MutableFlatIndex
+
+
+def _oracle(q, x, k, metric="l2"):
+    if metric == "l2":
+        d = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    else:
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        d = -(qn @ xn.T)
+    return np.argsort(d, axis=1, kind="stable")[:, :k]
+
+
+def test_add_search_matches_oracle(rng):
+    x = rng.standard_normal((500, 16)).astype(np.float32)
+    q = rng.standard_normal((8, 16)).astype(np.float32)
+    idx = MutableFlatIndex(16)
+    ids = idx.add(x)
+    np.testing.assert_array_equal(ids, np.arange(500))
+    d, got = idx.search(q, 5)
+    exp = _oracle(q, x, 5)
+    # compare by distance (ties may reorder)
+    gd = ((q[:, None, :] - x[got][..., :]) ** 2).sum(-1)
+    ed = ((q[:, None, :] - x[exp][..., :]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.sort(gd, 1), np.sort(ed, 1), rtol=1e-4)
+
+
+def test_incremental_adds_grow_capacity(rng):
+    idx = MutableFlatIndex(8, capacity=16)
+    all_rows = []
+    for _ in range(10):
+        batch = rng.standard_normal((37, 8)).astype(np.float32)
+        idx.add(batch)
+        all_rows.append(batch)
+    x = np.concatenate(all_rows)
+    assert idx.n_active == 370
+    assert idx.capacity >= 370
+    q = x[:4]
+    _, ids = idx.search(q, 1)
+    np.testing.assert_array_equal(ids[:, 0], np.arange(4))
+
+
+def test_delete_removes_from_results(rng):
+    x = rng.standard_normal((200, 12)).astype(np.float32)
+    idx = MutableFlatIndex(12)
+    ids = idx.add(x)
+    q = x[:5]
+    _, before = idx.search(q, 1)
+    np.testing.assert_array_equal(before[:, 0], np.arange(5))
+    assert idx.delete(ids[:5]) == 5
+    _, after = idx.search(q, 3)
+    assert not np.isin(after, np.arange(5)).any()
+    # remaining rows still searchable with correct oracle answers
+    exp = _oracle(q, x, 8)[:, :8]
+    exp_live = np.array(
+        [[j for j in row if j >= 5][:3] for j, row in zip(range(5), exp)]
+    )
+    np.testing.assert_array_equal(after, exp_live)
+
+
+def test_delete_twice_and_unknown_ids(rng):
+    x = rng.standard_normal((50, 8)).astype(np.float32)
+    idx = MutableFlatIndex(8)
+    ids = idx.add(x)
+    assert idx.delete(ids[:3]) == 3
+    assert idx.delete(ids[:3]) == 0  # already gone
+    assert idx.delete([10_000]) == 0  # never existed
+    assert idx.n_active == 47
+
+
+def test_compaction_preserves_ids(rng):
+    x = rng.standard_normal((300, 10)).astype(np.float32)
+    idx = MutableFlatIndex(10, compact_frac=0.1)
+    ids = idx.add(x)
+    idx.delete(ids[:150])  # exceeds compact_frac -> auto-compact
+    assert idx._n_dead == 0  # compacted
+    assert idx.n_active == 150
+    q = x[150:155]
+    _, got = idx.search(q, 1)
+    np.testing.assert_array_equal(got[:, 0], ids[150:155])
+
+
+def test_filter_ids(rng):
+    x = rng.standard_normal((100, 8)).astype(np.float32)
+    idx = MutableFlatIndex(8)
+    ids = idx.add(x)
+    q = x[:3]
+    allow = ids[50:]
+    _, got = idx.search(q, 4, filter_ids=allow)
+    assert (got >= 50).all()
+    exp = _oracle(q, x[50:], 4)
+    np.testing.assert_array_equal(got, exp + 50)
+
+
+def test_cosine_metric(rng):
+    x = rng.standard_normal((200, 16)).astype(np.float32)
+    q = rng.standard_normal((6, 16)).astype(np.float32)
+    idx = MutableFlatIndex(16, metric="cosine")
+    idx.add(x)
+    _, got = idx.search(q, 5)
+    exp = _oracle(q, x, 5, metric="cosine")
+    assert (got == exp).mean() > 0.9  # ties aside
+
+
+def test_ip_delete_cannot_resurface(rng):
+    """Zeroed dead rows must not outrank live negatives under ip."""
+    x = -np.abs(rng.standard_normal((50, 8))).astype(np.float32)
+    idx = MutableFlatIndex(8, metric="ip")
+    ids = idx.add(x)
+    idx.delete(ids[:10])
+    q = np.abs(rng.standard_normal((4, 8))).astype(np.float32)
+    _, got = idx.search(q, 5)
+    assert not np.isin(got, ids[:10]).any()
+    assert (got >= 10).all()
+
+
+def test_large_streamed_path(rng):
+    """Capacity above the dense-path cutoff exercises the scan kernel."""
+    x = rng.standard_normal((2000, 8)).astype(np.float32)
+    idx = MutableFlatIndex(8, capacity=1024)
+    idx.add(x)
+    q = x[:4]
+    d, ids = idx.search(q, 2)
+    np.testing.assert_array_equal(ids[:, 0], np.arange(4))
+    assert np.allclose(d[:, 0], 0.0, atol=1e-4)
+
+
+def test_empty_index_and_empty_add():
+    idx = MutableFlatIndex(4)
+    d, ids = idx.search(np.zeros((2, 4), np.float32), 3)
+    assert (ids == -1).all() and np.isinf(d).all()
+    assert idx.add(np.zeros((0, 4), np.float32)).shape == (0,)
+    with pytest.raises(ValueError):
+        idx.add(np.zeros((3, 5), np.float32))

@@ -46,6 +46,7 @@ class GraphIndexer(BaseIndexer):
         seed: int = 42,
         nbr_table: str = "auto",  # auto | on | off
         nbr_table_budget_mb: int = 2048,
+        nbr_table_dtype: str = "auto",  # auto | bf16 | int8
         **params: Any,
     ):
         super().__init__(metric=metric, **params)
@@ -56,6 +57,7 @@ class GraphIndexer(BaseIndexer):
         self.seed = int(seed)
         self.nbr_table = str(nbr_table)
         self.nbr_table_budget_mb = int(nbr_table_budget_mb)
+        self.nbr_table_dtype = str(nbr_table_dtype)
 
     def build(self, vectors: np.ndarray, dimension: int) -> IndexArtifact:
         x = jnp.asarray(np.ascontiguousarray(vectors, dtype=np.float32))
@@ -80,14 +82,31 @@ class GraphIndexer(BaseIndexer):
         # Plain bf16 *row* gathers of the corpus were tried in round 1 and
         # reverted (sub-32-byte rows hit a gather cliff); table rows are
         # R*d elements, far past the cliff.
-        table_mb = n * degree * int(dimension) * 2 / 1e6
+        bf16_mb = n * degree * int(dimension) * 2 / 1e6
+        int8_mb = bf16_mb / 2
+        dtype = self.nbr_table_dtype
+        if dtype == "auto":
+            # prefer bf16 (no quantisation in routing); drop to the int8
+            # (SQ8-coded) table when only it fits the HBM budget — half
+            # the gather bytes at a ~0 recall cost thanks to the exact
+            # final rescore
+            dtype = (
+                "bf16" if bf16_mb <= self.nbr_table_budget_mb else "int8"
+            )
+        table_mb = bf16_mb if dtype == "bf16" else int8_mb
         use_table = self.nbr_table == "on" or (
             self.nbr_table == "auto" and table_mb <= self.nbr_table_budget_mb
         )
         if use_table:
-            nbr_vecs, nbr_sqn = gops.build_neighbor_table(x, adjacency)
+            nbr_vecs, nbr_sqn, nbr_vmin, nbr_step = gops.build_neighbor_table(
+                x, adjacency,
+                dtype="int8" if dtype == "int8" else jnp.bfloat16,
+            )
             data["nbr_vecs"] = nbr_vecs
             data["nbr_sqn"] = nbr_sqn
+            if nbr_vmin is not None:
+                data["nbr_vmin"] = nbr_vmin
+                data["nbr_step"] = nbr_step
         return IndexArtifact(
             "graph",
             jax.block_until_ready(data),
@@ -142,7 +161,9 @@ def graph_artifact_search(
         cand_keep=keep,
         nbr_vecs=nbr_vecs,
         nbr_sqn=artifact.data.get("nbr_sqn"),
-        rescore=nbr_vecs is not None,  # bf16 routing -> exact f32 re-rank
+        rescore=nbr_vecs is not None,  # quantised routing -> exact re-rank
+        nbr_vmin=artifact.data.get("nbr_vmin"),
+        nbr_step=artifact.data.get("nbr_step"),
     )
     return dists, ids
 

@@ -222,21 +222,37 @@ def build_neighbor_table(
     vectors: jax.Array,
     adjacency: jax.Array,
     dtype=jnp.bfloat16,
-) -> Tuple[jax.Array, jax.Array]:
-    """Contiguous neighbour-vector table ``([N, R, d] dtype, [N, R] f32)``.
+):
+    """Contiguous neighbour-vector table
+    ``([N, R, d] dtype, [N, R] f32 norms, vmin|None, step|None)``.
 
     Stores each node's neighbour vectors contiguously so the beam's
     per-iteration vector fetch is a [B, W]-row block gather instead of a
     [B, W*R] scattered-row gather (~4x faster beams at W*R=1536; see
     graph_search docstring). Costs R x index memory at the table dtype;
-    norms are kept in f32 so L2 distances stay well-conditioned under
-    bf16 values.
+    norms are kept in f32 so L2 distances stay well-conditioned.
+
+    ``dtype='int8'`` stores SQ8 codes instead (ops/sq ranges): half the
+    bf16 bytes — both half the gather traffic and the enabler for
+    double-degree tables inside the same HBM budget. Routing then scores
+    with the affine-folded dot (``q.x_hat = q.vmin + (q*step).codes``,
+    same trick as ivf_sq_search) and the final candidates are exactly
+    rescored against the f32 corpus, so end recall is table-noise-free.
+    Returned ``vmin/step`` are None for float tables.
     """
+    from vectordb_retrieval_tpu.ops import sq as sqops
+
     safe = jnp.where(adjacency >= 0, adjacency, 0)
+    if dtype in ("int8", "sq8", jnp.uint8, jnp.int8):
+        vmin, step = sqops.sq_train(vectors)
+        codes = sqops.sq_encode(vectors, vmin, step)
+        x_hat = sqops.sq_decode(codes, vmin, step)
+        sqn = jnp.sum(x_hat * x_hat, axis=-1)[safe]  # decoded-row norms
+        return codes[safe], sqn, vmin, step
     table = vectors.astype(dtype)[safe]
     v32 = vectors.astype(jnp.float32)
     sqn = jnp.sum(v32 * v32, axis=-1)[safe]
-    return table, sqn
+    return table, sqn, None, None
 
 
 def pick_entry_points(vectors: jax.Array, n_entry: int, seed: int = 0) -> jax.Array:
@@ -312,9 +328,11 @@ def graph_search(
     metric: str = "l2",
     sqnorms: jax.Array = None,  # f32 row norms (l2)
     cand_keep: int = 0,  # per-iteration insert cap (0 = ef)
-    nbr_vecs: jax.Array = None,  # [N, R, d] neighbour-vector table
+    nbr_vecs: jax.Array = None,  # [N, R, d] neighbour table (bf16 | u8 codes)
     nbr_sqn: jax.Array = None,  # [N, R] f32 norms of table rows
     rescore: bool = False,  # exact f32 rescore of the final candidates
+    nbr_vmin: jax.Array = None,  # [d] SQ range (int8 tables only)
+    nbr_step: jax.Array = None,  # [d] SQ step  (int8 tables only)
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched beam search; returns ``(dists [B, k], ids [B, k])``.
 
@@ -399,12 +417,26 @@ def graph_search(
             neigh3 = adjacency[safe_sel]  # [B, W, R]
             nvec = nbr_vecs[safe_sel]  # [B, W, R, d] ONE block gather
             nsqn = nbr_sqn[safe_sel]  # [B, W, R]
-            dots = jnp.einsum(
-                "bwrd,bd->bwr",
-                nvec,
-                queries.astype(nvec.dtype),
-                preferred_element_type=jnp.float32,
-            )
+            if nvec.dtype == jnp.uint8:
+                # SQ8 table: affine decode folded into the contraction
+                # (q.x_hat = q.vmin + (q*step).codes) — codes feed the
+                # MXU directly, nothing decoded to HBM
+                q_scaled = (queries * nbr_step[None, :]).astype(
+                    jnp.bfloat16
+                )
+                dots = jnp.einsum(
+                    "bwrd,bd->bwr",
+                    nvec.astype(jnp.bfloat16),
+                    q_scaled,
+                    preferred_element_type=jnp.float32,
+                ) + (queries @ nbr_vmin)[:, None, None]
+            else:
+                dots = jnp.einsum(
+                    "bwrd,bd->bwr",
+                    nvec,
+                    queries.astype(nvec.dtype),
+                    preferred_element_type=jnp.float32,
+                )
             if metric == "l2":
                 nd3 = qn[:, None, None] + nsqn - 2.0 * dots
             else:
