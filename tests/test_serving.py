@@ -137,3 +137,75 @@ def test_empty_index_and_empty_add():
     assert idx.add(np.zeros((0, 4), np.float32)).shape == (0,)
     with pytest.raises(ValueError):
         idx.add(np.zeros((3, 5), np.float32))
+
+
+class TestMutableIVF:
+    def _oracle_l2(self, q, x, k):
+        d = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+        return np.argsort(d, axis=1, kind="stable")[:, :k]
+
+    def test_build_and_search(self, rng):
+        from vectordb_retrieval_tpu.serving import MutableIVFIndex
+
+        x = rng.standard_normal((1000, 16)).astype(np.float32)
+        q = rng.standard_normal((8, 16)).astype(np.float32)
+        idx = MutableIVFIndex(x, nlist=8, nprobe=8)
+        assert idx.n_active == 1000
+        _, ids = idx.search(q, 10)  # all-probe == exact
+        from vectordb_retrieval_tpu.bench.metrics import recall_at_k
+
+        gt = self._oracle_l2(q, x, 10)
+        assert recall_at_k(gt, ids, 10) == 1.0
+
+    def test_add_then_find(self, rng):
+        from vectordb_retrieval_tpu.serving import MutableIVFIndex
+
+        x = rng.standard_normal((500, 12)).astype(np.float32)
+        idx = MutableIVFIndex(x, nlist=4, nprobe=4)
+        extra = rng.standard_normal((63, 12)).astype(np.float32)
+        new_ids = idx.add(extra)
+        assert idx.n_active == 563
+        # each added row is its own nearest neighbour at full probe
+        _, got = idx.search(extra[:10], 1)
+        np.testing.assert_array_equal(got[:, 0], new_ids[:10])
+
+    def test_add_overflows_into_new_buckets(self, rng):
+        from vectordb_retrieval_tpu.serving import MutableIVFIndex
+
+        x = rng.standard_normal((64, 8)).astype(np.float32)
+        idx = MutableIVFIndex(x, nlist=2, nprobe=2, bucket_len=8)
+        nb0 = int(idx._slot_ids.shape[0])
+        extra = rng.standard_normal((200, 8)).astype(np.float32)
+        idx.add(extra)
+        assert int(idx._slot_ids.shape[0]) > nb0  # grew buckets
+        assert idx.n_active == 264
+        _, got = idx.search(extra[:5], 1)
+        assert (np.asarray(got[:, 0]) >= 64).all()
+
+    def test_delete(self, rng):
+        from vectordb_retrieval_tpu.serving import MutableIVFIndex
+
+        x = rng.standard_normal((300, 8)).astype(np.float32)
+        idx = MutableIVFIndex(x, nlist=4, nprobe=4)
+        q = x[:5]
+        _, before = idx.search(q, 1)
+        np.testing.assert_array_equal(before[:, 0], np.arange(5))
+        assert idx.delete(np.arange(5)) == 5
+        assert idx.delete(np.arange(5)) == 0
+        _, after = idx.search(q, 5)
+        assert not np.isin(after, np.arange(5)).any()
+
+    def test_partial_probe_recall(self, rng):
+        from vectordb_retrieval_tpu.bench.metrics import recall_at_k
+        from vectordb_retrieval_tpu.serving import MutableIVFIndex
+
+        x = rng.standard_normal((2000, 16)).astype(np.float32)
+        q = rng.standard_normal((16, 16)).astype(np.float32)
+        idx = MutableIVFIndex(x, nlist=16, nprobe=4)
+        gt = self._oracle_l2(q, x, 10)
+        _, ids4 = idx.search(q, 10)
+        _, ids16 = idx.search(q, 10, nprobe=16)
+        r4 = recall_at_k(gt, ids4, 10)
+        r16 = recall_at_k(gt, ids16, 10)
+        assert r16 == 1.0
+        assert 0.4 < r4 <= r16

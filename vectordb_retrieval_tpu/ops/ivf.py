@@ -194,8 +194,11 @@ def ivf_flat_search(
 
 
 # resident-reconstruction budget for decode-on-read IVF-PQ (bf16 bytes);
-# above it the search switches to the masked streaming scan
-_IVFPQ_RESIDENT_BUDGET = 192 * 1024 * 1024
+# above it the search switches to the masked streaming scan. 512 MB keeps
+# the fast probe regime through 2M x 128d on a 16 GB chip (the
+# reconstruction is a per-batch transient, not index state; at 1M x 128d
+# it is 256 MB and the probe path is ~4x the masked streaming scan)
+_IVFPQ_RESIDENT_BUDGET = 512 * 1024 * 1024
 # per-chunk transient budget for the streaming scan
 _IVFPQ_CHUNK_BUDGET = 48 * 1024 * 1024
 

@@ -294,3 +294,209 @@ class MutableFlatIndex:
             dists = np.pad(dists, ((0, 0), (0, padw)), constant_values=np.inf)
             ids = np.pad(ids, ((0, 0), (0, padw)), constant_values=-1)
         return dists, ids
+
+
+class MutableIVFIndex:
+    """Incrementally updatable IVF-Flat index (add / delete / search).
+
+    Serving-style IVF mutation: the coarse quantizer is trained ONCE on
+    the initial corpus and then frozen (the standard production pattern —
+    centroid drift is handled by periodic rebuilds, not per-add
+    retraining), while the bucketed inverted lists mutate in place:
+
+      * every list owns >= 1 fixed-length bucket row in the padded device
+        tensors (ops/ivf bucketed layout); ``add`` assigns rows to their
+        nearest centroid on device and scatters them into free slots;
+      * a list whose buckets are full gets a fresh bucket appended
+        (device arrays grow by bucket-count doubling, amortised O(1));
+      * ``delete`` tombstones slots (slot id -> -1 — the probe scan
+        already masks negative ids, so deletion is O(1) with zero search
+        overhead).
+
+    Searches call the same jitted ``ivf_flat_search`` kernel as the
+    immutable family; runtime ``nprobe`` works per call.
+    """
+
+    def __init__(
+        self,
+        vectors: np.ndarray,
+        nlist: int = 64,
+        metric: str = "l2",
+        nprobe: int = 8,
+        bucket_len: int = 0,
+        seed: int = 123,
+        train_iters: int = 20,
+    ):
+        from vectordb_retrieval_tpu.ops import ivf as ivfops
+        from vectordb_retrieval_tpu.ops.kmeans import kmeans_fit
+
+        if metric not in ("l2", "ip", "cosine"):
+            raise ValueError(f"unsupported metric {metric!r}")
+        x = np.ascontiguousarray(vectors, dtype=np.float32)
+        n, d = x.shape
+        self.dimension = d
+        self.metric = metric
+        self.nprobe = int(nprobe)
+        xd = jnp.asarray(x)
+        if metric == "cosine":
+            xd = dops.normalize(xd)
+        self.nlist = min(int(nlist), max(n, 1))
+        self.centroids, _ = kmeans_fit(
+            xd, self.nlist, seed=seed, iters=train_iters
+        )
+        from vectordb_retrieval_tpu.ops.kmeans import kmeans_assign
+
+        assign = np.asarray(kmeans_assign(xd, self.centroids))
+        if not bucket_len:
+            bucket_len = max(8, min(-(-n // self.nlist) * 2, 2048))
+        self._L = int(bucket_len)
+        slot_np, bucket_lists_np, _ = ivfops.build_bucketed_lists(
+            assign, self.nlist, target_len=self._L, target_len_cap=0
+        )
+        nb = slot_np.shape[0]
+        safe = np.where(slot_np >= 0, slot_np, 0)
+        vecs_np = np.asarray(xd)[safe] * (slot_np >= 0)[:, :, None]
+        self._slot_ids = jnp.asarray(
+            np.where(slot_np >= 0, slot_np, -1).astype(np.int32)
+        )
+        self._list_vecs = jnp.asarray(vecs_np)
+        self._list_sqn = jnp.asarray((vecs_np**2).sum(-1).astype(np.float32))
+        self._bucket_lists = np.asarray(bucket_lists_np, dtype=np.int32)
+        self._coarse = self.centroids[jnp.asarray(self._bucket_lists)]
+        # host bookkeeping
+        self._fill = (slot_np >= 0).sum(axis=1).astype(np.int64)  # per bucket
+        self._list_buckets = {
+            l: list(np.nonzero(self._bucket_lists == l)[0])
+            for l in range(self.nlist)
+        }
+        self._id_loc = {}  # stable id -> (bucket, slot)
+        for b in range(nb):
+            for s_idx, rid in enumerate(slot_np[b]):
+                if rid >= 0:
+                    self._id_loc[int(rid)] = (b, s_idx)
+        self._next_id = n
+
+    # -- internals ------------------------------------------------------
+    @property
+    def n_active(self) -> int:
+        return len(self._id_loc)
+
+    def _new_bucket(self, list_id: int) -> int:
+        """Append one bucket row for ``list_id`` (grow by doubling)."""
+        nb = self._slot_ids.shape[0]
+        self._slot_ids = jnp.concatenate(
+            [self._slot_ids, jnp.full((1, self._L), -1, jnp.int32)]
+        )
+        self._list_vecs = jnp.concatenate(
+            [
+                self._list_vecs,
+                jnp.zeros((1, self._L, self.dimension), jnp.float32),
+            ]
+        )
+        self._list_sqn = jnp.concatenate(
+            [self._list_sqn, jnp.zeros((1, self._L), jnp.float32)]
+        )
+        self._bucket_lists = np.append(
+            self._bucket_lists, np.int32(list_id)
+        )
+        self._coarse = self.centroids[jnp.asarray(self._bucket_lists)]
+        self._fill = np.append(self._fill, 0)
+        self._list_buckets[list_id].append(nb)
+        return nb
+
+    def add(self, vectors: np.ndarray) -> np.ndarray:
+        """Insert rows (assigned to their frozen nearest centroid);
+        returns stable ids."""
+        from vectordb_retrieval_tpu.ops.kmeans import kmeans_assign
+
+        x = np.ascontiguousarray(vectors, dtype=np.float32)
+        if x.ndim != 2 or x.shape[1] != self.dimension:
+            raise ValueError(
+                f"add expects [*, {self.dimension}], got {x.shape}"
+            )
+        m = x.shape[0]
+        if m == 0:
+            return np.empty((0,), np.int64)
+        xd = jnp.asarray(x)
+        if self.metric == "cosine":
+            xd = dops.normalize(xd)
+        assign = np.asarray(kmeans_assign(xd, self.centroids))
+        ids = np.arange(self._next_id, self._next_id + m, dtype=np.int64)
+        self._next_id += m
+        # place each row host-side, then one batched device scatter
+        rows_b, rows_s = np.empty(m, np.int32), np.empty(m, np.int32)
+        for i in range(m):
+            lst = int(assign[i])
+            bucket = next(
+                (b for b in self._list_buckets[lst] if self._fill[b] < self._L),
+                None,
+            )
+            if bucket is None:
+                bucket = self._new_bucket(lst)
+            rows_b[i], rows_s[i] = bucket, self._fill[bucket]
+            self._fill[bucket] += 1
+            self._id_loc[int(ids[i])] = (int(bucket), int(rows_s[i]))
+        bb, ss = jnp.asarray(rows_b), jnp.asarray(rows_s)
+        self._slot_ids = self._slot_ids.at[bb, ss].set(
+            ids.astype(np.int32)
+        )
+        self._list_vecs = self._list_vecs.at[bb, ss].set(xd)
+        self._list_sqn = self._list_sqn.at[bb, ss].set(
+            jnp.sum(xd * xd, axis=-1)
+        )
+        return ids
+
+    def delete(self, ids) -> int:
+        """Tombstone rows; O(1) per id, no search-time cost."""
+        locs = [
+            self._id_loc.pop(int(i))
+            for i in np.atleast_1d(np.asarray(ids, dtype=np.int64))
+            if int(i) in self._id_loc
+        ]
+        if not locs:
+            return 0
+        bb = jnp.asarray(np.asarray([l[0] for l in locs], np.int32))
+        ss = jnp.asarray(np.asarray([l[1] for l in locs], np.int32))
+        self._slot_ids = self._slot_ids.at[bb, ss].set(-1)
+        self._list_vecs = self._list_vecs.at[bb, ss].set(0.0)
+        self._list_sqn = self._list_sqn.at[bb, ss].set(0.0)
+        # NOTE: slots are not reused (ids in a bucket stay append-only);
+        # heavy-churn deployments should rebuild periodically
+        return len(locs)
+
+    def search(
+        self, queries: np.ndarray, k: int, nprobe: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        from vectordb_retrieval_tpu.ops import ivf as ivfops
+
+        q = np.ascontiguousarray(np.atleast_2d(queries), dtype=np.float32)
+        b = q.shape[0]
+        if self.n_active == 0:
+            return (
+                np.full((b, k), np.inf, np.float32),
+                np.full((b, k), -1, np.int64),
+            )
+        qd = jnp.asarray(q)
+        metric = self.metric
+        if metric == "cosine":
+            qd = dops.normalize(qd)
+            metric = "ip"
+        n_buckets = int(self._slot_ids.shape[0])
+        npb = nprobe if nprobe is not None else self.nprobe
+        # probe whole LISTS: scale the bucket-probe count accordingly
+        eff = min(max(1, npb * n_buckets // self.nlist), n_buckets)
+        eff_k = min(k, n_buckets * self._L)
+        dists, ids = ivfops.ivf_flat_search(
+            qd, self._coarse, self._slot_ids, self._list_vecs,
+            self._list_sqn, eff_k, eff, metric=metric,
+        )
+        dists = np.asarray(dists)
+        ids = np.asarray(ids).astype(np.int64)
+        ids = np.where(np.isfinite(dists), ids, -1)
+        if dists.shape[1] < k:
+            padw = k - dists.shape[1]
+            dists = np.pad(
+                dists, ((0, 0), (0, padw)), constant_values=np.inf
+            )
+            ids = np.pad(ids, ((0, 0), (0, padw)), constant_values=-1)
+        return dists, ids
