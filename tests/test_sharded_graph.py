@@ -135,3 +135,38 @@ def test_sharded_graph_persistence_reshards(tmp_path, rng):
     d1, i1 = algo2.batch_search(q, 5)
     np.testing.assert_array_equal(i0, i1)
     np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-5)
+
+
+def test_q_axis_data_parallel(rng):
+    """2-D (q, db) mesh: queries sharded over q, db ring per block."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vectordb_retrieval_tpu.parallel import (
+        build_sharded_ivf_coded,
+        sharded_ivf_coded_search,
+        sharded_graph_search,
+    )
+
+    x = rng.standard_normal((1024, 16)).astype(np.float32)
+    q = rng.standard_normal((16, 16)).astype(np.float32)
+    full = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(full, axis=1)[:, :5]
+
+    mesh = make_mesh(8, axis_names=("q", "db"), shape=(2, 4))
+    qd = jax.device_put(
+        jnp.asarray(q), NamedSharding(mesh, P("q", None))
+    )
+    data, _ = build_sharded_ivf_coded(x, mesh, nlist=4, coding="sq8", seed=1)
+    _, i = sharded_ivf_coded_search(
+        qd, data, 5, 4, mesh, coding="sq8", q_axis="q"
+    )
+    from vectordb_retrieval_tpu.bench.metrics import recall_at_k
+
+    assert recall_at_k(gt, np.asarray(i), 5) > 0.95
+
+    gdata, _ = build_sharded_graph(x, mesh, M=4, seed=1)
+    _, gi = sharded_graph_search(
+        qd, gdata, x.shape[0], 5, mesh, ef=64, q_axis="q"
+    )
+    assert recall_at_k(gt, np.asarray(gi), 5) > 0.8

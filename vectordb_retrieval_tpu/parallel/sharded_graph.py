@@ -91,7 +91,9 @@ def build_sharded_graph(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_total", "k", "ef", "metric", "mesh", "axis"),
+    static_argnames=(
+        "n_total", "k", "ef", "metric", "mesh", "axis", "q_axis"
+    ),
 )
 def sharded_graph_search(
     queries: jax.Array,
@@ -102,6 +104,7 @@ def sharded_graph_search(
     ef: int = 64,
     metric: str = "l2",
     axis: str = "db",
+    q_axis: str = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fan-out beam search per shard + all_gather candidate merge."""
     per = data["vectors"].shape[1]
@@ -128,17 +131,20 @@ def sharded_graph_search(
         gid = jnp.where(valid, gid, -1)
         return gather_merge(d, gid, axis, eff_k)
 
+    from vectordb_retrieval_tpu.parallel.sharded_ivf import _query_specs
+
+    q_spec, out_specs = _query_specs(q_axis)
     fn = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(
-            P(),
+            q_spec,
             P(axis, None, None),
             P(axis, None),
             P(axis, None, None),
             P(axis, None),
         ),
-        out_specs=(P(), P()),
+        out_specs=out_specs,
         check_vma=False,
     )
     return fn(

@@ -106,8 +106,17 @@ def build_sharded_ivf_flat(
     }, {"nlist": nlist, "max_list_len": max_len, "n_shards": n_shards}
 
 
+def _query_specs(q_axis):
+    """Query/output partition specs: replicated, or data-parallel over
+    ``q_axis`` (each query block merges inside its own db ring)."""
+    if q_axis is None:
+        return P(), (P(), P())
+    return P(q_axis, None), (P(q_axis, None), P(q_axis, None))
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "nprobe", "metric", "mesh", "axis")
+    jax.jit,
+    static_argnames=("k", "nprobe", "metric", "mesh", "axis", "q_axis"),
 )
 def sharded_ivf_flat_search(
     queries: jax.Array,
@@ -117,6 +126,7 @@ def sharded_ivf_flat_search(
     mesh: Mesh,
     metric: str = "l2",
     axis: str = "db",
+    q_axis: str = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fan-out probe scan per shard + all_gather candidate merge."""
 
@@ -126,17 +136,18 @@ def sharded_ivf_flat_search(
         )
         return gather_merge(d, i, axis, k)
 
+    q_spec, out_specs = _query_specs(q_axis)
     fn = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(
-            P(),
+            q_spec,
             P(axis, None, None),
             P(axis, None, None),
             P(axis, None, None, None),
             P(axis, None, None),
         ),
-        out_specs=(P(), P()),
+        out_specs=out_specs,
         check_vma=False,
     )
     return fn(
@@ -248,7 +259,9 @@ def build_sharded_ivf_coded(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "nprobe", "metric", "mesh", "axis", "coding"),
+    static_argnames=(
+        "k", "nprobe", "metric", "mesh", "axis", "coding", "q_axis"
+    ),
 )
 def sharded_ivf_coded_search(
     queries: jax.Array,
@@ -259,6 +272,7 @@ def sharded_ivf_coded_search(
     coding: str = "sq8",
     metric: str = "l2",
     axis: str = "db",
+    q_axis: str = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fan-out quantized probe scan per shard + all_gather merge."""
     if coding == "pq":
@@ -291,11 +305,12 @@ def sharded_ivf_coded_search(
     specs = tuple(
         P(axis, *([None] * (op.ndim - 1))) for op in operands
     )
+    q_spec, out_specs = _query_specs(q_axis)
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(),) + specs,
-        out_specs=(P(), P()),
+        in_specs=(q_spec,) + specs,
+        out_specs=out_specs,
         check_vma=False,
     )
     return fn(queries, *operands)
