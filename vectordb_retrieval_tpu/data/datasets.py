@@ -50,9 +50,15 @@ def compute_ground_truth(
     )
     from vectordb_retrieval_tpu.ops import distances as dops
 
-    if is_out_of_core(train) and metric == "l2" and not normalize:
+    if is_out_of_core(train):
         k = min(k, train.shape[0])
-        _, ids = streamed_exact_search(queries, train, k, metric="l2")
+        eff_metric = metric
+        norm = normalize
+        if metric == "cosine" or normalize:
+            eff_metric, norm = "ip", True
+        _, ids = streamed_exact_search(
+            queries, train, k, metric=eff_metric, normalize=norm
+        )
         return np.asarray(ids, dtype=np.int64)
 
     from vectordb_retrieval_tpu.data.storage import corpus_to_device
