@@ -262,12 +262,14 @@ class FactoryIndexer(BaseIndexer):
             code_w = d
         del sample
 
+        from vectordb_retrieval_tpu.data.storage import iter_chunks_any
+
         codes_np = np.empty((n, code_w), dtype=np.uint8)
         sqn_np = np.empty((n,), dtype=np.float32)
         assign_np = np.empty((n,), dtype=np.int32)
-        for start in range(0, n, chunk_rows):
-            stop = min(start + chunk_rows, n)
-            dev = prep(_read_chunk(store, start, stop))
+        for start, host in iter_chunks_any(store, chunk_rows):
+            stop = start + host.shape[0]
+            dev = prep(host)
             a = kmeans_assign(dev, centroids)
             if spec["coding"] == "pq":
                 residuals = dev - centroids[a]
