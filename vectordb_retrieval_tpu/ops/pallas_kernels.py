@@ -86,7 +86,16 @@ def assign_pallas(
 
 
 def kmeans_assign_fused(points: jax.Array, centroids: jax.Array):
-    """Dispatch: Pallas on TPU, interpreter elsewhere (tests)."""
+    """Dispatch: Pallas on TPU, interpreter elsewhere (tests).
+
+    Head-to-head at production scale (1M x 128d vs 1024 centroids, real
+    v5e, results materialised in the clock, round 2): agreement 1.000000
+    with ops/kmeans.kmeans_assign; 103.9 ms vs XLA's 95.5 ms. XLA's
+    chunked scan keeps the default build path on merit — it fuses the
+    same matmul+argmin pipeline and its chunk scheduling edges out this
+    kernel's fixed tiling. Kept as the Pallas reference implementation
+    and the fallback shape for future Mosaic-only variants (e.g. int8
+    inputs, which XLA does not fuse as cleanly)."""
     return assign_pallas(points, centroids, interpret=not _on_tpu())
 
 
