@@ -356,13 +356,14 @@ class MutableIVFIndex:
         nb = slot_np.shape[0]
         safe = np.where(slot_np >= 0, slot_np, 0)
         vecs_np = np.asarray(xd)[safe] * (slot_np >= 0)[:, :, None]
+        self._nb = nb  # logical bucket count (physical arrays may be larger)
         self._slot_ids = jnp.asarray(
             np.where(slot_np >= 0, slot_np, -1).astype(np.int32)
         )
         self._list_vecs = jnp.asarray(vecs_np)
         self._list_sqn = jnp.asarray((vecs_np**2).sum(-1).astype(np.float32))
         self._bucket_lists = np.asarray(bucket_lists_np, dtype=np.int32)
-        self._coarse = self.centroids[jnp.asarray(self._bucket_lists)]
+        self._refresh_coarse()
         # host bookkeeping
         self._fill = (slot_np >= 0).sum(axis=1).astype(np.int64)  # per bucket
         self._list_buckets = {
@@ -381,27 +382,45 @@ class MutableIVFIndex:
     def n_active(self) -> int:
         return len(self._id_loc)
 
+    def _refresh_coarse(self) -> None:
+        """Coarse probe table over the PHYSICAL bucket rows: unused
+        (pre-allocated) buckets get a far-away sentinel centroid so the
+        coarse top-k never probes them."""
+        safe_lists = np.where(self._bucket_lists >= 0, self._bucket_lists, 0)
+        coarse = self.centroids[jnp.asarray(safe_lists)]
+        dead = jnp.asarray(self._bucket_lists < 0)
+        self._coarse = jnp.where(dead[:, None], 1e9, coarse)
+
     def _new_bucket(self, list_id: int) -> int:
-        """Append one bucket row for ``list_id`` (grow by doubling)."""
-        nb = self._slot_ids.shape[0]
-        self._slot_ids = jnp.concatenate(
-            [self._slot_ids, jnp.full((1, self._L), -1, jnp.int32)]
-        )
-        self._list_vecs = jnp.concatenate(
-            [
-                self._list_vecs,
-                jnp.zeros((1, self._L, self.dimension), jnp.float32),
-            ]
-        )
-        self._list_sqn = jnp.concatenate(
-            [self._list_sqn, jnp.zeros((1, self._L), jnp.float32)]
-        )
-        self._bucket_lists = np.append(
-            self._bucket_lists, np.int32(list_id)
-        )
-        self._coarse = self.centroids[jnp.asarray(self._bucket_lists)]
-        self._fill = np.append(self._fill, 0)
+        """Claim a bucket row for ``list_id``; physical arrays grow by
+        DOUBLING (one concatenate per doubling, amortised O(1) — a
+        bucket-at-a-time append would be O(nb) per growth)."""
+        physical = int(self._slot_ids.shape[0])
+        if self._nb == physical:
+            grow = physical  # double
+            self._slot_ids = jnp.concatenate(
+                [self._slot_ids, jnp.full((grow, self._L), -1, jnp.int32)]
+            )
+            self._list_vecs = jnp.concatenate(
+                [
+                    self._list_vecs,
+                    jnp.zeros((grow, self._L, self.dimension), jnp.float32),
+                ]
+            )
+            self._list_sqn = jnp.concatenate(
+                [self._list_sqn, jnp.zeros((grow, self._L), jnp.float32)]
+            )
+            self._bucket_lists = np.concatenate(
+                [self._bucket_lists, np.full(grow, -1, np.int32)]
+            )
+            self._fill = np.concatenate(
+                [self._fill, np.zeros(grow, np.int64)]
+            )
+        nb = self._nb
+        self._bucket_lists[nb] = np.int32(list_id)
+        self._refresh_coarse()
         self._list_buckets[list_id].append(nb)
+        self._nb += 1
         return nb
 
     def add(self, vectors: np.ndarray) -> np.ndarray:
@@ -481,11 +500,12 @@ class MutableIVFIndex:
         if metric == "cosine":
             qd = dops.normalize(qd)
             metric = "ip"
-        n_buckets = int(self._slot_ids.shape[0])
         npb = nprobe if nprobe is not None else self.nprobe
-        # probe whole LISTS: scale the bucket-probe count accordingly
-        eff = min(max(1, npb * n_buckets // self.nlist), n_buckets)
-        eff_k = min(k, n_buckets * self._L)
+        # probe whole LISTS: scale the bucket-probe count by the LOGICAL
+        # bucket count (physical rows include pre-allocated dead buckets,
+        # which the sentinel coarse distances already exclude)
+        eff = min(max(1, npb * self._nb // self.nlist), self._nb)
+        eff_k = min(k, self._nb * self._L)
         dists, ids = ivfops.ivf_flat_search(
             qd, self._coarse, self._slot_ids, self._list_vecs,
             self._list_sqn, eff_k, eff, metric=metric,
