@@ -1,0 +1,256 @@
+"""Big-corpus staging tests: BigStore round-trips, chunked device upload,
+memmap-backed Dataset cache, and builders consuming out-of-core inputs.
+
+Mirrors the reference's memmap cache-protocol coverage
+(reference src/benchmark/dataset.py:281-471) at small scale; the 4M-row
+RSS validation lives in scripts/validate_bigcorpus.py (needs the real
+host/TPU, not the CPU test mesh).
+"""
+
+import numpy as np
+import pytest
+
+from vectordb_retrieval_tpu.data.storage import (
+    BigStore,
+    chunked_device_put,
+    corpus_to_device,
+)
+
+
+@pytest.fixture()
+def store(tmp_path):
+    rng = np.random.default_rng(0)
+    ref = rng.standard_normal((1000, 24), dtype=np.float32)
+    path = str(tmp_path / "corpus.bin")
+    with BigStore.create(path, 24) as w:
+        for start in range(0, 1000, 170):  # ragged chunks
+            w.append(ref[start : start + 170])
+    return BigStore.open(path), ref
+
+
+class TestBigStore:
+    def test_round_trip(self, store):
+        s, ref = store
+        assert s.shape == (1000, 24)
+        assert s.nbytes == ref.nbytes
+        np.testing.assert_array_equal(s.read_rows(0, 1000), ref)
+
+    def test_offset_reads(self, store):
+        s, ref = store
+        np.testing.assert_array_equal(s.read_rows(123, 456), ref[123:456])
+        # clamped out-of-range reads
+        assert s.read_rows(990, 2000).shape == (10, 24)
+        assert s.read_rows(5, 5).shape == (0, 24)
+
+    def test_iter_chunks_covers_all(self, store):
+        s, ref = store
+        got = np.concatenate(list(s.iter_chunks(333)))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_as_memmap(self, store):
+        s, ref = store
+        mm = s.as_memmap()
+        assert isinstance(mm, np.memmap)
+        np.testing.assert_array_equal(np.asarray(mm[200:300]), ref[200:300])
+
+    def test_open_missing_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            BigStore.open(str(tmp_path / "nope.bin"))
+
+
+class TestChunkedDevicePut:
+    def test_matches_direct_upload(self, store):
+        s, ref = store
+        dev = chunked_device_put(s, chunk_rows=170)
+        np.testing.assert_array_equal(np.asarray(dev), ref)
+
+    def test_ragged_tail_overlap(self, store):
+        s, ref = store
+        # chunk_rows not dividing N exercises the overlapping-tail write
+        dev = chunked_device_put(s, chunk_rows=512)
+        np.testing.assert_array_equal(np.asarray(dev), ref)
+
+    def test_memmap_source(self, store):
+        s, ref = store
+        dev = chunked_device_put(s.as_memmap(), chunk_rows=256)
+        np.testing.assert_array_equal(np.asarray(dev), ref)
+
+    def test_corpus_to_device_plain_array(self):
+        ref = np.random.default_rng(1).standard_normal((64, 8)).astype(
+            np.float32
+        )
+        np.testing.assert_array_equal(np.asarray(corpus_to_device(ref)), ref)
+
+
+class TestMemmapDataset:
+    def test_random_memmap_mode(self, tmp_path):
+        from vectordb_retrieval_tpu.data.datasets import (
+            Dataset,
+            compute_ground_truth,
+        )
+
+        opts = {
+            "train_size": 600,
+            "test_size": 16,
+            "dimensions": 16,
+            "ground_truth_k": 5,
+            "seed": 3,
+            "storage": "memmap",
+            "chunk_rows": 128,
+        }
+        ds = Dataset("random", data_dir=str(tmp_path), options=opts).load()
+        assert isinstance(ds.train_vectors, np.memmap)
+        assert ds.train_vectors.shape == (600, 16)
+        # GT computed over the streamed corpus matches GT over a dense copy
+        dense = np.array(ds.train_vectors)
+        gt = compute_ground_truth(dense, ds.test_vectors, 5, ds.metric)
+        np.testing.assert_array_equal(ds.ground_truth, gt)
+        # cache round-trip keeps the memmap view and identical payloads
+        ds2 = Dataset("random", data_dir=str(tmp_path), options=opts).load()
+        assert isinstance(ds2.train_vectors, np.memmap)
+        np.testing.assert_array_equal(
+            np.asarray(ds2.train_vectors), np.asarray(ds.train_vectors)
+        )
+        np.testing.assert_array_equal(ds2.ground_truth, ds.ground_truth)
+
+    def test_builders_accept_memmap(self, tmp_path):
+        from vectordb_retrieval_tpu.models.composite import CompositeAlgorithm
+
+        rng = np.random.default_rng(5)
+        ref = rng.standard_normal((800, 16), dtype=np.float32)
+        path = str(tmp_path / "c.bin")
+        with BigStore.create(path, 16) as w:
+            w.append(ref)
+        mm = BigStore.open(path).as_memmap()
+        q = rng.standard_normal((8, 16), dtype=np.float32)
+        for indexer in (
+            {"type": "BruteForceIndexer"},
+            {"type": "IVFIndexer", "index_type": "IVF16,Flat"},
+        ):
+            searcher = (
+                {"type": "LinearSearcher"}
+                if indexer["type"] == "BruteForceIndexer"
+                else {"type": "ANNSearcher", "nprobe": 16}
+            )
+            a = CompositeAlgorithm(
+                dimension=16, indexer=indexer, searcher=searcher, metric="l2"
+            )
+            a.build_index(mm)
+            b = CompositeAlgorithm(
+                dimension=16, indexer=indexer, searcher=searcher, metric="l2"
+            )
+            b.build_index(ref)
+            da, ia = a.batch_search(q, 5)
+            db, ib = b.batch_search(q, 5)
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_allclose(da, db, rtol=1e-5, atol=1e-5)
+
+
+class TestStreamedSearch:
+    def test_matches_resident_exact(self, store):
+        import jax.numpy as jnp
+
+        from vectordb_retrieval_tpu.data.storage import streamed_exact_search
+        from vectordb_retrieval_tpu.ops import distances as dops
+
+        s, ref = store
+        rng = np.random.default_rng(7)
+        q = rng.standard_normal((8, 24)).astype(np.float32)
+        for metric in ("l2", "ip"):
+            ds, is_ = streamed_exact_search(
+                q, s, 10, metric=metric, chunk_rows=170
+            )
+            dd, id_ = dops.exact_search(
+                jnp.asarray(q), jnp.asarray(ref), 10, metric=metric,
+                refine=(metric == "l2"),
+            )
+            np.testing.assert_allclose(
+                ds, np.asarray(dd), rtol=1e-5, atol=1e-5
+            )
+            # compare distances not ids (tie order may differ)
+            np.testing.assert_allclose(
+                np.sort(ds, axis=1), np.sort(np.asarray(dd), axis=1),
+                rtol=1e-5, atol=1e-5,
+            )
+
+    def test_streaming_gt_matches_dense_gt(self, store, tmp_path):
+        from vectordb_retrieval_tpu.data.datasets import compute_ground_truth
+
+        s, ref = store
+        rng = np.random.default_rng(9)
+        q = rng.standard_normal((6, 24)).astype(np.float32)
+        gt_stream = compute_ground_truth(s.as_memmap(), q, 5, "l2")
+        gt_dense = compute_ground_truth(ref, q, 5, "l2")
+        np.testing.assert_array_equal(gt_stream, gt_dense)
+
+
+class TestStreamingIVFBuild:
+    def test_sq8_stream_build_recall(self, tmp_path):
+        from vectordb_retrieval_tpu.models.composite import CompositeAlgorithm
+
+        rng = np.random.default_rng(4)
+        ref = rng.standard_normal((3000, 16), dtype=np.float32)
+        path = str(tmp_path / "c.bin")
+        with BigStore.create(path, 16) as w:
+            w.append(ref)
+        store = BigStore.open(path)
+        q = rng.standard_normal((16, 16), dtype=np.float32)
+        full = ((q[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
+        gt = np.argsort(full, axis=1)[:, :10]
+
+        algo = CompositeAlgorithm(
+            dimension=16,
+            indexer={"type": "IVFIndexer", "index_type": "IVF8,SQ8"},
+            searcher={"type": "ANNSearcher", "nprobe": 8},
+            metric="l2",
+        )
+        algo.build_index(store)
+        assert algo.artifact.metadata.get("built_streaming") is True
+        assert algo.artifact.kind == "ivf_sq8"
+        from vectordb_retrieval_tpu.bench.metrics import recall_at_k
+
+        _, ids = algo.batch_search(q, 10)
+        # all-probe SQ8: near-exact
+        assert recall_at_k(gt, ids, 10) > 0.95
+
+    def test_pq_stream_build_recall(self, tmp_path):
+        from vectordb_retrieval_tpu.bench.metrics import recall_at_k
+        from vectordb_retrieval_tpu.models.composite import CompositeAlgorithm
+
+        rng = np.random.default_rng(8)
+        ref = rng.standard_normal((3000, 16), dtype=np.float32)
+        path = str(tmp_path / "c.bin")
+        with BigStore.create(path, 16) as w:
+            w.append(ref)
+        store = BigStore.open(path)
+        q = rng.standard_normal((16, 16), dtype=np.float32)
+        full = ((q[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
+        gt = np.argsort(full, axis=1)[:, :10]
+
+        algo = CompositeAlgorithm(
+            dimension=16,
+            indexer={"type": "FactoryIndexer", "index_key": "IVF8,PQ8"},
+            searcher={"type": "ANNSearcher", "nprobe": 8},
+            metric="l2",
+        )
+        algo.build_index(store)
+        assert algo.artifact.metadata.get("built_streaming") is True
+        _, ids = algo.batch_search(q, 10)
+        # PQ8 on 16d residuals, all probes: lossy but far above chance
+        assert recall_at_k(gt, ids, 10) > 0.5
+
+
+def test_streaming_gt_cosine_matches_dense(tmp_path):
+    from vectordb_retrieval_tpu.data.datasets import compute_ground_truth
+    from vectordb_retrieval_tpu.data.storage import BigStore
+
+    rng = np.random.default_rng(13)
+    ref = rng.standard_normal((800, 24)).astype(np.float32)
+    path = str(tmp_path / "c.bin")
+    with BigStore.create(path, 24) as w:
+        w.append(ref)
+    mm = BigStore.open(path).as_memmap()
+    q = rng.standard_normal((6, 24)).astype(np.float32)
+    gt_stream = compute_ground_truth(mm, q, 5, "cosine")
+    gt_dense = compute_ground_truth(ref, q, 5, "cosine")
+    np.testing.assert_array_equal(gt_stream, gt_dense)
