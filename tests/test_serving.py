@@ -209,3 +209,17 @@ class TestMutableIVF:
         r16 = recall_at_k(gt, ids16, 10)
         assert r16 == 1.0
         assert 0.4 < r4 <= r16
+
+
+def test_ivf_growth_with_default_bucket_len(rng):
+    """Regression: default bucket_len is rounded up to the pad multiple by
+    the layout builder — growth rows must use the PHYSICAL width."""
+    from vectordb_retrieval_tpu.serving import MutableIVFIndex
+
+    x = rng.standard_normal((1000, 8)).astype(np.float32)
+    idx = MutableIVFIndex(x, nlist=8, nprobe=8)  # bucket_len=250 -> 256 phys
+    extra = rng.standard_normal((600, 8)).astype(np.float32)
+    new_ids = idx.add(extra)  # overflows several lists
+    assert idx.n_active == 1600
+    _, got = idx.search(extra[:5], 1)
+    np.testing.assert_array_equal(got[:, 0], new_ids[:5])

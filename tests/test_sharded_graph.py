@@ -157,9 +157,9 @@ def test_q_axis_data_parallel(rng):
     qd = jax.device_put(
         jnp.asarray(q), NamedSharding(mesh, P("q", None))
     )
-    data, _ = build_sharded_ivf_coded(x, mesh, nlist=4, coding="sq8", seed=1)
+    data, meta = build_sharded_ivf_coded(x, mesh, nlist=4, coding="sq8", seed=1)
     _, i = sharded_ivf_coded_search(
-        qd, data, 5, 4, mesh, coding="sq8", q_axis="q"
+        qd, data, 5, meta["n_buckets"], mesh, coding="sq8", q_axis="q"
     )
     from vectordb_retrieval_tpu.bench.metrics import recall_at_k
 

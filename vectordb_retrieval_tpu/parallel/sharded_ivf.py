@@ -42,6 +42,37 @@ def gather_merge(d: jax.Array, i: jax.Array, axis: str, k: int):
     return md, jnp.take_along_axis(cat_i, sel, axis=1)
 
 
+def _shard_bucketed_layouts(x, n_shards, nlist, seed, train_iters):
+    """Per-shard coarse training + BUCKETED list layout with global ids.
+
+    Returns ``(layouts, max_buckets, max_len)`` where each layout is
+    ``(centroids, global_slot_ids [nb, L], bucket_lists [nb])``. Bucketed
+    (fixed-length, centroid-duplicating) layouts replace pad-to-longest
+    here for the same reason as the single-chip family: one skewed list —
+    or one skewed shard — would otherwise inflate every shard's stack.
+    """
+    n = x.shape[0]
+    per = -(-n // n_shards)
+    layouts = []
+    max_buckets = max_len = 0
+    for s in range(n_shards):
+        lo, hi = s * per, min((s + 1) * per, n)
+        xs = jnp.asarray(x[lo:hi])
+        local_nlist = min(nlist, max(hi - lo, 1))
+        centroids, _ = kmeans_fit(
+            xs, local_nlist, seed=seed + s, iters=train_iters
+        )
+        assign = np.asarray(kmeans_assign(xs, centroids))
+        slot_ids, bucket_lists, _ = ivfops.build_bucketed_lists(
+            assign, local_nlist
+        )
+        slot_g = np.where(slot_ids >= 0, slot_ids + lo, -1)
+        layouts.append((centroids, slot_g, bucket_lists))
+        max_buckets = max(max_buckets, slot_ids.shape[0])
+        max_len = max(max_len, slot_ids.shape[1])
+    return layouts, max_buckets, max_len
+
+
 def build_sharded_ivf_flat(
     x: np.ndarray,
     mesh: Mesh,
@@ -56,43 +87,27 @@ def build_sharded_ivf_flat(
     own ``nlist`` centroids (over its rows) and lays out padded lists whose
     slot ids are global row indices.
     """
+    layouts, max_buckets, max_len = _shard_bucketed_layouts(
+        x, mesh.shape[axis], nlist, seed, train_iters
+    )
     n_shards = mesh.shape[axis]
-    n, d = x.shape
-    per = -(-n // n_shards)
-    cents, slots, vecs, sqns = [], [], [], []
-    max_len = 0
-    shard_layouts = []
-    for s in range(n_shards):
-        lo, hi = s * per, min((s + 1) * per, n)
-        xs = jnp.asarray(x[lo:hi])
-        local_nlist = min(nlist, max(hi - lo, 1))
-        centroids, _ = kmeans_fit(
-            xs, local_nlist, seed=seed + s, iters=train_iters
-        )
-        assign = np.asarray(kmeans_assign(xs, centroids))
-        slot_ids, _, _ = ivfops.build_padded_lists(assign, local_nlist)
-        slot_ids = np.where(slot_ids >= 0, slot_ids + lo, -1)  # -> global ids
-        shard_layouts.append((centroids, slot_ids, lo, hi))
-        max_len = max(max_len, slot_ids.shape[1])
-
-    # common static shapes across shards
-    def pad_lists(slot_ids, local_nlist):
-        out = np.full((nlist, max_len), -1, dtype=np.int32)
-        out[: slot_ids.shape[0], : slot_ids.shape[1]] = slot_ids
-        return out
-
-    cent_stack = np.zeros((n_shards, nlist, d), dtype=np.float32)
-    slot_stack = np.full((n_shards, nlist, max_len), -1, dtype=np.int32)
-    vec_stack = np.zeros((n_shards, nlist, max_len, d), dtype=np.float32)
-    for s, (centroids, slot_ids, lo, hi) in enumerate(shard_layouts):
-        c = np.asarray(centroids)
-        cent_stack[s, : c.shape[0]] = c
-        # unfilled centroid rows must never win the coarse top-k
-        if c.shape[0] < nlist:
-            cent_stack[s, c.shape[0]:] = 1e9
-        slot_stack[s] = pad_lists(slot_ids, c.shape[0])
+    d = x.shape[1]
+    # coarse table per shard is the BUCKET table (duplicated centroid rows,
+    # ops/ivf.build_bucketed_lists) — skewed lists cannot blow padding up;
+    # dead bucket rows carry 1e9 centroids so the coarse top-k skips them
+    cent_stack = np.full((n_shards, max_buckets, d), 1e9, dtype=np.float32)
+    slot_stack = np.full(
+        (n_shards, max_buckets, max_len), -1, dtype=np.int32
+    )
+    vec_stack = np.zeros(
+        (n_shards, max_buckets, max_len, d), dtype=np.float32
+    )
+    for s, (centroids, slot_g, bucket_lists) in enumerate(layouts):
+        nb, ml = slot_g.shape
+        cent_stack[s, :nb] = np.asarray(centroids)[bucket_lists]
+        slot_stack[s, :nb, :ml] = slot_g
         safe = np.where(slot_stack[s] >= 0, slot_stack[s], 0)
-        vec_stack[s] = x[safe]
+        vec_stack[s] = x[safe] * (slot_stack[s] >= 0)[:, :, None]
     sqn_stack = np.sum(vec_stack * vec_stack, axis=-1)
 
     sh = lambda a: jax.device_put(
@@ -103,7 +118,12 @@ def build_sharded_ivf_flat(
         "slot_ids": sh(slot_stack),
         "list_vecs": sh(vec_stack),
         "list_sqnorms": sh(sqn_stack),
-    }, {"nlist": nlist, "max_list_len": max_len, "n_shards": n_shards}
+    }, {
+        "nlist": nlist,
+        "n_buckets": max_buckets,
+        "max_list_len": max_len,
+        "n_shards": n_shards,
+    }
 
 
 def _query_specs(q_axis):
@@ -184,19 +204,16 @@ def build_sharded_ivf_coded(
     n_shards = mesh.shape[axis]
     n, d = x.shape
     per = -(-n // n_shards)
+    layouts, max_buckets, max_len = _shard_bucketed_layouts(
+        x, n_shards, nlist, seed, train_iters
+    )
     shards = []
-    max_len = 0
-    for s in range(n_shards):
-        lo, hi = s * per, min((s + 1) * per, n)
+    for s, (centroids, slot_g, bucket_lists) in enumerate(layouts):
+        lo = s * per
+        hi = min((s + 1) * per, n)
         xs = jnp.asarray(x[lo:hi])
-        local_nlist = min(nlist, max(hi - lo, 1))
-        centroids, _ = kmeans_fit(
-            xs, local_nlist, seed=seed + s, iters=train_iters
-        )
         assign_dev = kmeans_assign(xs, centroids)
-        assign = np.asarray(assign_dev)
-        slot_ids, _, _ = ivfops.build_padded_lists(assign, local_nlist)
-        safe = np.where(slot_ids >= 0, slot_ids, 0)
+        # per-row codes in LOCAL row order; gathered into buckets below
         if coding == "pq":
             residuals = xs - centroids[assign_dev]
             # small shards cannot support the full 256-codeword codebooks
@@ -216,25 +233,31 @@ def build_sharded_ivf_coded(
             codes = np.asarray(codes_dev)
             sqn = np.asarray(jnp.sum(x_hat * x_hat, axis=-1))
             extras = {"vmin": np.asarray(vmin), "step": np.asarray(step)}
-        slot_global = np.where(slot_ids >= 0, slot_ids + lo, -1)
+        local = np.where(slot_g >= 0, slot_g - lo, 0)
         shards.append(
-            (np.asarray(centroids), slot_global, codes[safe], sqn[safe], extras)
+            (centroids, slot_g, bucket_lists, codes[local], sqn[local], extras)
         )
-        max_len = max(max_len, slot_ids.shape[1])
 
-    code_w = shards[0][2].shape[-1]  # m (pq) or d (sq8)
-    code_dt = shards[0][2].dtype
-    cent_stack = np.full((n_shards, nlist, d), 1e9, dtype=np.float32)
-    slot_stack = np.full((n_shards, nlist, max_len), -1, dtype=np.int32)
-    code_stack = np.zeros((n_shards, nlist, max_len, code_w), dtype=code_dt)
-    sqn_stack = np.zeros((n_shards, nlist, max_len), dtype=np.float32)
+    code_w = shards[0][3].shape[-1]  # m (pq) or d (sq8)
+    code_dt = shards[0][3].dtype
+    # bucketed stacks: dead bucket rows carry 1e9 coarse centroids
+    cent_stack = np.full((n_shards, max_buckets, d), 1e9, dtype=np.float32)
+    slot_stack = np.full(
+        (n_shards, max_buckets, max_len), -1, dtype=np.int32
+    )
+    code_stack = np.zeros(
+        (n_shards, max_buckets, max_len, code_w), dtype=code_dt
+    )
+    sqn_stack = np.zeros((n_shards, max_buckets, max_len), dtype=np.float32)
     extra_stacks: dict = {}
-    for s, (cents, slot_g, codes_l, sqn_l, extras) in enumerate(shards):
-        ln, ml = slot_g.shape
-        cent_stack[s, :ln] = cents
-        slot_stack[s, :ln, :ml] = slot_g
-        code_stack[s, :ln, :ml] = codes_l
-        sqn_stack[s, :ln, :ml] = sqn_l
+    for s, (cents, slot_g, bucket_lists, codes_l, sqn_l, extras) in enumerate(
+        shards
+    ):
+        nb, ml = slot_g.shape
+        cent_stack[s, :nb] = np.asarray(cents)[bucket_lists]
+        slot_stack[s, :nb, :ml] = slot_g
+        code_stack[s, :nb, :ml] = codes_l
+        sqn_stack[s, :nb, :ml] = sqn_l
         for key, val in extras.items():
             extra_stacks.setdefault(key, []).append(val)
 
@@ -251,6 +274,7 @@ def build_sharded_ivf_coded(
         data[key] = sh(np.stack(vals))
     return data, {
         "nlist": nlist,
+        "n_buckets": max_buckets,
         "max_list_len": max_len,
         "n_shards": n_shards,
         "coding": coding,

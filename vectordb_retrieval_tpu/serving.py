@@ -15,9 +15,9 @@ design is TPU-native serving rather than a CPU-style dynamic structure:
   * searches run the same MXU scan as the immutable flat family at the
     CURRENT capacity — shapes change only on capacity growth, so XLA
     recompiles O(log N) times over an index's lifetime;
-  * ``filter_mask`` (query-time filtering) folds into the same penalty
-    row: pass a ``[C]`` (corpus-wide) or ``[B, C]`` (per-query) boolean
-    mask of allowed rows;
+  * ``filter_ids`` (query-time filtering) folds into the same penalty
+    row as a corpus-wide ``[C]`` allow-list; per-query ``[B, C]``
+    penalties are supported on the dense path only;
   * ``compact()`` drops tombstones and shrinks capacity (automatic once
     tombstones exceed ``compact_frac`` of live rows).
 
@@ -62,16 +62,24 @@ def _masked_search(
         vals, ids = dops.top_k_smallest(dist, min(k, c))
         return vals, jnp.where(jnp.isfinite(vals), ids, -1)
 
+    if pen.ndim == 2:
+        # per-query penalties are [B, C] by definition — only the dense
+        # branch supports them (no current caller builds one; filter_ids
+        # folds into the corpus-wide 1-D penalty)
+        raise ValueError(
+            "per-query [B, C] penalties need the dense path "
+            f"(C={c} > chunk_rows={chunk_rows})"
+        )
     n_chunks = -(-c // chunk_rows)
     pad = n_chunks * chunk_rows - c
     vp = jnp.pad(vectors, ((0, pad), (0, 0))).reshape(
         n_chunks, chunk_rows, d
     )
     sp = jnp.pad(sqnorms, (0, pad)).reshape(n_chunks, chunk_rows)
-    pp = jnp.pad(
-        jnp.broadcast_to(pen2, (b, c)), ((0, 0), (0, pad)),
-        constant_values=_BIG,
-    ).reshape(b, n_chunks, chunk_rows)
+    # 1-D penalty streams chunk-by-chunk: no [B, C] materialisation
+    pp = jnp.pad(pen, (0, pad), constant_values=_BIG).reshape(
+        n_chunks, chunk_rows
+    )
     kk = min(k, c)
     init = (
         jnp.full((b, kk), _BIG, jnp.float32),
@@ -85,7 +93,7 @@ def _masked_search(
         dist = dops.pairwise_distances(
             queries, cv, metric, cs if metric == "l2" else None
         )
-        dist = dist + cp
+        dist = dist + cp[None, :]
         ids = row_ids + ci * chunk_rows
         cat_d = jnp.concatenate([best_d, dist], axis=1)
         cat_i = jnp.concatenate(
@@ -97,12 +105,7 @@ def _masked_search(
     (best_d, best_i), _ = jax.lax.scan(
         step,
         init,
-        (
-            jnp.arange(n_chunks, dtype=jnp.int32),
-            vp,
-            sp,
-            jnp.moveaxis(pp, 0, 1),
-        ),
+        (jnp.arange(n_chunks, dtype=jnp.int32), vp, sp, pp),
     )
     return best_d, jnp.where(jnp.isfinite(best_d), best_i, -1)
 
@@ -349,11 +352,14 @@ class MutableIVFIndex:
         assign = np.asarray(kmeans_assign(xd, self.centroids))
         if not bucket_len:
             bucket_len = max(8, min(-(-n // self.nlist) * 2, 2048))
-        self._L = int(bucket_len)
         slot_np, bucket_lists_np, _ = ivfops.build_bucketed_lists(
-            assign, self.nlist, target_len=self._L, target_len_cap=0
+            assign, self.nlist, target_len=int(bucket_len), target_len_cap=0
         )
+        # the PHYSICAL bucket width (build rounds target_len up to the pad
+        # multiple) — growth rows must match it exactly
+        self._L = int(slot_np.shape[1])
         nb = slot_np.shape[0]
+        self._coarse_dirty = False
         safe = np.where(slot_np >= 0, slot_np, 0)
         vecs_np = np.asarray(xd)[safe] * (slot_np >= 0)[:, :, None]
         self._nb = nb  # logical bucket count (physical arrays may be larger)
@@ -418,7 +424,7 @@ class MutableIVFIndex:
             )
         nb = self._nb
         self._bucket_lists[nb] = np.int32(list_id)
-        self._refresh_coarse()
+        self._coarse_dirty = True  # refreshed once per add() batch
         self._list_buckets[list_id].append(nb)
         self._nb += 1
         return nb
@@ -455,6 +461,9 @@ class MutableIVFIndex:
             rows_b[i], rows_s[i] = bucket, self._fill[bucket]
             self._fill[bucket] += 1
             self._id_loc[int(ids[i])] = (int(bucket), int(rows_s[i]))
+        if self._coarse_dirty:
+            self._refresh_coarse()
+            self._coarse_dirty = False
         bb, ss = jnp.asarray(rows_b), jnp.asarray(rows_s)
         self._slot_ids = self._slot_ids.at[bb, ss].set(
             ids.astype(np.int32)
@@ -503,8 +512,16 @@ class MutableIVFIndex:
         npb = nprobe if nprobe is not None else self.nprobe
         # probe whole LISTS: scale the bucket-probe count by the LOGICAL
         # bucket count (physical rows include pre-allocated dead buckets,
-        # which the sentinel coarse distances already exclude)
+        # which the sentinel coarse distances already exclude). The count
+        # is quantised UP to a power of two so steady bucket growth does
+        # not mint a fresh static jit argument (= a full recompile, tens
+        # of seconds on the remote tunnel) per added bucket — extra
+        # probes only help recall.
         eff = min(max(1, npb * self._nb // self.nlist), self._nb)
+        q2 = 1
+        while q2 < eff:
+            q2 *= 2
+        eff = min(q2, self._nb)
         eff_k = min(k, self._nb * self._L)
         dists, ids = ivfops.ivf_flat_search(
             qd, self._coarse, self._slot_ids, self._list_vecs,
