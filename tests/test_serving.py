@@ -223,3 +223,94 @@ def test_ivf_growth_with_default_bucket_len(rng):
     assert idx.n_active == 1600
     _, got = idx.search(extra[:5], 1)
     np.testing.assert_array_equal(got[:, 0], new_ids[:5])
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine"])
+def test_mutable_flat_randomized_interleaving(rng, metric):
+    """Fuzz adds/deletes/compactions/searches against a host-side oracle."""
+    from vectordb_retrieval_tpu.serving import MutableFlatIndex
+
+    d = 12
+    idx = MutableFlatIndex(d, metric=metric, capacity=16, compact_frac=0.3)
+    oracle = {}  # stable id -> vector
+    for step in range(30):
+        op = rng.choice(["add", "add", "delete", "search"])
+        if op == "add":
+            m = int(rng.integers(1, 40))
+            batch = rng.standard_normal((m, d)).astype(np.float32)
+            ids = idx.add(batch)
+            for i, sid in enumerate(ids):
+                oracle[int(sid)] = batch[i]
+        elif op == "delete" and oracle:
+            sids = rng.choice(
+                list(oracle), size=min(len(oracle), 5), replace=False
+            )
+            n_del = idx.delete(sids)
+            assert n_del == len(sids)
+            for sid in sids:
+                oracle.pop(int(sid))
+        elif oracle:
+            q = rng.standard_normal((3, d)).astype(np.float32)
+            k = min(4, len(oracle))
+            _, got = idx.search(q, k)
+            keys = np.array(sorted(oracle))
+            x = np.stack([oracle[int(s)] for s in keys])
+            if metric == "l2":
+                dist = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+            else:
+                xn = x / np.maximum(
+                    np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+                )
+                qn = q / np.maximum(
+                    np.linalg.norm(q, axis=1, keepdims=True), 1e-12
+                )
+                dist = -(qn @ xn.T)
+            exp_ids = keys[np.argsort(dist, axis=1, kind="stable")[:, :k]]
+            # compare by distance (ties may reorder between backends)
+            for row in range(3):
+                gd = sorted(
+                    dist[row][np.searchsorted(keys, got[row][got[row] >= 0])]
+                )
+                ed = sorted(dist[row][np.searchsorted(keys, exp_ids[row])])
+                np.testing.assert_allclose(gd, ed, rtol=1e-4, atol=1e-5)
+        assert idx.n_active == len(oracle)
+
+
+def test_mutable_ivf_randomized_interleaving(rng):
+    """Fuzz IVF adds/deletes with all-probe searches (== exact semantics)."""
+    from vectordb_retrieval_tpu.serving import MutableIVFIndex
+
+    d = 10
+    x0 = rng.standard_normal((300, d)).astype(np.float32)
+    idx = MutableIVFIndex(x0, nlist=4, nprobe=4, bucket_len=32)
+    oracle = {i: x0[i] for i in range(300)}
+    for step in range(20):
+        op = rng.choice(["add", "delete", "search"])
+        if op == "add":
+            m = int(rng.integers(1, 60))
+            batch = rng.standard_normal((m, d)).astype(np.float32)
+            ids = idx.add(batch)
+            for i, sid in enumerate(ids):
+                oracle[int(sid)] = batch[i]
+        elif op == "delete" and oracle:
+            sids = rng.choice(
+                list(oracle), size=min(len(oracle), 8), replace=False
+            )
+            assert idx.delete(sids) == len(sids)
+            for sid in sids:
+                oracle.pop(int(sid))
+        elif oracle:
+            q = rng.standard_normal((3, d)).astype(np.float32)
+            k = min(5, len(oracle))
+            # all-probe == exact over the live set
+            _, got = idx.search(q, k, nprobe=idx.nlist)
+            keys = np.array(sorted(oracle))
+            x = np.stack([oracle[int(s)] for s in keys])
+            dist = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+            exp = keys[np.argsort(dist, axis=1, kind="stable")[:, :k]]
+            for row in range(3):
+                g = got[row][got[row] >= 0]
+                gd = sorted(dist[row][np.searchsorted(keys, g)])
+                ed = sorted(dist[row][np.searchsorted(keys, exp[row])])
+                np.testing.assert_allclose(gd, ed, rtol=1e-4, atol=1e-5)
+        assert idx.n_active == len(oracle)
