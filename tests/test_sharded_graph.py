@@ -170,3 +170,47 @@ def test_q_axis_data_parallel(rng):
         qd, gdata, x.shape[0], 5, mesh, ef=64, q_axis="q"
     )
     assert recall_at_k(gt, np.asarray(gi), 5) > 0.8
+
+
+def test_small_corpus_many_shards_regressions(rng):
+    """Crash regressions from review: empty trailing shards, ragged PQ
+    codebook sizes, and k > rows-per-shard merge truncation."""
+    from vectordb_retrieval_tpu.parallel import (
+        build_sharded_ivf_coded,
+        build_sharded_ivf_flat,
+        sharded_ivf_coded_search,
+        sharded_ivf_flat_search,
+    )
+
+    mesh = make_mesh(8)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+
+    # 41 rows / 8 shards: two empty trailing shards must not crash kmeans
+    x = rng.standard_normal((41, 16)).astype(np.float32)
+    data, meta = build_sharded_ivf_flat(x, mesh, nlist=4, seed=1)
+    _, i = sharded_ivf_flat_search(
+        jnp.asarray(q), data, 3, meta["n_buckets"], mesh
+    )
+    assert (np.asarray(i) < 41).all()
+
+    # 900 rows / 8 shards: per-shard rows < 256 forced ragged PQ codebooks
+    x9 = rng.standard_normal((900, 16)).astype(np.float32)
+    data, meta = build_sharded_ivf_coded(
+        x9, mesh, nlist=4, coding="pq", m=4, seed=1
+    )
+    _, i = sharded_ivf_coded_search(
+        jnp.asarray(q), data, 3, meta["n_buckets"], mesh, coding="pq"
+    )
+    assert (np.asarray(i) < 900).all()
+
+    # 49 rows / 8 shards, k=30 > rows-per-shard: the merge must keep more
+    # than one shard's candidate width (and the empty shard must not crash
+    # the graph build)
+    x49 = rng.standard_normal((49, 16)).astype(np.float32)
+    gdata, _ = build_sharded_graph(x49, mesh, M=4, seed=1)
+    _, gi = sharded_graph_search(
+        jnp.asarray(q), gdata, 49, 30, mesh, ef=16
+    )
+    gi = np.asarray(gi)
+    assert gi.shape[1] > 7
+    assert ((gi >= -1) & (gi < 49)).all()

@@ -39,7 +39,7 @@ _BUILD_BATCH = 1024
 @functools.partial(jax.jit, static_argnames=("degree",))
 def _diversify_batch(
     cand_ids: jax.Array,  # [B, C] nearest-first candidates (self excluded)
-    cand_d: jax.Array,  # [B, C] distances node->candidate
+    cand_d2: jax.Array,  # [B, C] SQUARED distances node->candidate
     cand_vecs: jax.Array,  # [B, C, d]
     degree: int,
 ) -> jax.Array:
@@ -62,7 +62,7 @@ def _diversify_batch(
     )
     cn = jnp.sum(cand_vecs * cand_vecs, axis=-1)
     pair = cn[:, :, None] + cn[:, None, :] - 2.0 * dots  # [B, C, C] squared
-    cd2 = cand_d * cand_d
+    cd2 = cand_d2
 
     def body(j, keep):
         # conflict: some kept k with pair[j, k] <= d(node, j)^2
@@ -208,7 +208,7 @@ def build_knn_graph(
             cand_vecs = vectors[cand_ids]
             pruned = _diversify_batch(
                 cand_ids,
-                jnp.sqrt(jnp.maximum(jnp.asarray(d), 0.0)),
+                jnp.maximum(jnp.asarray(d), 0.0),  # squared distances
                 cand_vecs,
                 degree,
             )
@@ -495,10 +495,9 @@ def graph_search(
             diff = fvec - queries[:, None, :]
             fd = jnp.sum(diff * diff, axis=-1)
         else:
-            fd = -jnp.einsum(
-                "bcd,bd->bc", fvec, queries,
-                preferred_element_type=jnp.float32,
-            )
+            # VPU sum, NOT einsum: the MXU contraction would truncate the
+            # gathered f32 rows to bf16, defeating this exact re-rank
+            fd = -jnp.sum(fvec * queries[:, None, :], axis=-1)
         fd = jnp.where(fids >= 0, fd, big)
         out_d, opos = jax.lax.approx_max_k(
             -fd, min(k, kk), recall_target=1.0

@@ -56,6 +56,11 @@ def build_sharded_graph(
     for s in range(n_shards):
         lo, hi = s * per, min((s + 1) * per, n)
         rows = hi - lo
+        if rows <= 0:
+            # empty trailing shard: sentinel rows + self-loop adjacency
+            # (stack defaults) — entries stay -1 so the beam never starts
+            adj_stack[s] = np.arange(per)[:, None]
+            continue
         xs = jnp.asarray(x[lo:hi])
         adjacency = gops.build_knn_graph(xs, min(degree, max(rows - 1, 1)))
         entries = gops.pick_entry_points(
@@ -113,23 +118,31 @@ def sharded_graph_search(
     # same beam geometry as the single-chip serving path
     # (models/graph.graph_artifact_search), sized by the SHARD row count
     ef_l = min(max(ef, eff_k + 8, 16), per)
-    expand = max(8, min(ef_l, 1536 // max(degree, 1)))
+    # the 8-wide floor must not exceed the beam itself on tiny shards
+    expand = min(max(8, min(ef_l, 1536 // max(degree, 1))), ef_l)
     keep = max(eff_k, (3 * ef_l) // 4)
     iters = 3 + (per > 50_000) + (per > 500_000)
     iters = max(iters, -(-ef_l // keep) + 1)
+    n_shards = mesh.shape[axis]
+    # cross-shard merge keeps up to a full k even when k > rows-per-shard
+    out_k = min(k, n_shards * eff_k)
 
     def local(q, vecs, sqns, adj, entries):
         d, i = gops.graph_search(
             q, vecs[0], adj[0], entries[0], eff_k,
             ef=ef_l, expand=expand, iters=iters, metric=metric,
             sqnorms=sqns[0], cand_keep=keep,
+            # routing dots run at default (bf16-input) matmul precision;
+            # the exact VPU rescore restores the ranking contract before
+            # distances cross shards
+            rescore=True,
         )
         offset = jax.lax.axis_index(axis).astype(jnp.int32) * per
         gid = jnp.where(i >= 0, i + offset, -1)
         valid = (gid >= 0) & (gid < n_total)
         d = jnp.where(valid, d, jnp.inf)
         gid = jnp.where(valid, gid, -1)
-        return gather_merge(d, gid, axis, eff_k)
+        return gather_merge(d, gid, axis, eff_k, out_k=out_k)
 
     from vectordb_retrieval_tpu.parallel.sharded_ivf import _query_specs
 

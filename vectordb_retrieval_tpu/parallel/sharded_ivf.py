@@ -29,16 +29,23 @@ from vectordb_retrieval_tpu.ops import sq as sqops
 from vectordb_retrieval_tpu.ops.kmeans import kmeans_assign, kmeans_fit
 
 
-def gather_merge(d: jax.Array, i: jax.Array, axis: str, k: int):
+def gather_merge(
+    d: jax.Array, i: jax.Array, axis: str, k: int, out_k: int = 0
+):
     """Inside shard_map: all_gather per-shard top-k and reduce to global
-    top-k (the shared ICI collective shape of every sharded searcher)."""
+    top-k (the shared ICI collective shape of every sharded searcher).
+
+    ``out_k`` (default ``k``) is the merged width: callers whose requested
+    k exceeds the PER-SHARD candidate count must pass
+    ``min(requested_k, n_shards * k)`` so cross-shard results are not
+    silently truncated to one shard's worth."""
     all_d = jax.lax.all_gather(d, axis)  # [P, B, k]
     all_i = jax.lax.all_gather(i, axis)
     p = all_d.shape[0]
     b = d.shape[0]
     cat_d = jnp.transpose(all_d, (1, 0, 2)).reshape(b, p * k)
     cat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, p * k)
-    md, sel = dops.top_k_smallest(cat_d, k)
+    md, sel = dops.top_k_smallest(cat_d, min(out_k or k, p * k))
     return md, jnp.take_along_axis(cat_i, sel, axis=1)
 
 
@@ -51,14 +58,27 @@ def _shard_bucketed_layouts(x, n_shards, nlist, seed, train_iters):
     here for the same reason as the single-chip family: one skewed list —
     or one skewed shard — would otherwise inflate every shard's stack.
     """
-    n = x.shape[0]
+    n, d = x.shape
     per = -(-n // n_shards)
     layouts = []
-    max_buckets = max_len = 0
+    max_buckets = max_len = 1
     for s in range(n_shards):
         lo, hi = s * per, min((s + 1) * per, n)
+        if hi <= lo:
+            # empty trailing shard (n << n_shards*per): one dead bucket
+            # whose sentinel centroid is never probed
+            layouts.append(
+                (
+                    np.full((1, d), 1e9, np.float32),
+                    np.full((1, 8), -1, np.int32),
+                    np.zeros(1, np.int32),
+                    np.zeros(0, np.int32),
+                )
+            )
+            max_len = max(max_len, 8)
+            continue
         xs = jnp.asarray(x[lo:hi])
-        local_nlist = min(nlist, max(hi - lo, 1))
+        local_nlist = min(nlist, hi - lo)
         centroids, _ = kmeans_fit(
             xs, local_nlist, seed=seed + s, iters=train_iters
         )
@@ -67,7 +87,7 @@ def _shard_bucketed_layouts(x, n_shards, nlist, seed, train_iters):
             assign, local_nlist
         )
         slot_g = np.where(slot_ids >= 0, slot_ids + lo, -1)
-        layouts.append((centroids, slot_g, bucket_lists))
+        layouts.append((np.asarray(centroids), slot_g, bucket_lists, assign))
         max_buckets = max(max_buckets, slot_ids.shape[0])
         max_len = max(max_len, slot_ids.shape[1])
     return layouts, max_buckets, max_len
@@ -102,7 +122,7 @@ def build_sharded_ivf_flat(
     vec_stack = np.zeros(
         (n_shards, max_buckets, max_len, d), dtype=np.float32
     )
-    for s, (centroids, slot_g, bucket_lists) in enumerate(layouts):
+    for s, (centroids, slot_g, bucket_lists, _assign) in enumerate(layouts):
         nb, ml = slot_g.shape
         cent_stack[s, :nb] = np.asarray(centroids)[bucket_lists]
         slot_stack[s, :nb, :ml] = slot_g
@@ -207,17 +227,43 @@ def build_sharded_ivf_coded(
     layouts, max_buckets, max_len = _shard_bucketed_layouts(
         x, n_shards, nlist, seed, train_iters
     )
+    code_w = m if coding == "pq" else d
+    # PQ codebook size must be UNIFORM across shards (the stacked
+    # [n_shards, m, ksub, dsub] tensor is rectangular), so it is bounded
+    # by the smallest non-empty shard
+    ksub = min(
+        [256]
+        + [a.shape[0] for (_, _, _, a) in layouts if a.shape[0] > 0]
+    )
     shards = []
-    for s, (centroids, slot_g, bucket_lists) in enumerate(layouts):
+    for s, (centroids, slot_g, bucket_lists, assign) in enumerate(layouts):
         lo = s * per
         hi = min((s + 1) * per, n)
+        if hi <= lo:  # empty shard: zero codes under the dead bucket
+            nbs, mls = slot_g.shape
+            extras = (
+                {"codebooks": np.zeros((m, ksub, d // m), np.float32)}
+                if coding == "pq"
+                else {
+                    "vmin": np.zeros(d, np.float32),
+                    "step": np.full(d, 1e-12, np.float32),
+                }
+            )
+            shards.append(
+                (
+                    centroids, slot_g, bucket_lists,
+                    np.zeros((nbs, mls, code_w), np.uint8),
+                    np.zeros((nbs, mls), np.float32),
+                    extras,
+                )
+            )
+            continue
         xs = jnp.asarray(x[lo:hi])
-        assign_dev = kmeans_assign(xs, centroids)
+        cents_dev = jnp.asarray(centroids)
+        assign_dev = jnp.asarray(assign)
         # per-row codes in LOCAL row order; gathered into buckets below
         if coding == "pq":
-            residuals = xs - centroids[assign_dev]
-            # small shards cannot support the full 256-codeword codebooks
-            ksub = min(256, int(xs.shape[0]))
+            residuals = xs - cents_dev[assign_dev]
             codebooks = pqops.pq_train(
                 residuals, m, ksub=ksub, seed=seed + s, iters=train_iters
             )
@@ -238,7 +284,6 @@ def build_sharded_ivf_coded(
             (centroids, slot_g, bucket_lists, codes[local], sqn[local], extras)
         )
 
-    code_w = shards[0][3].shape[-1]  # m (pq) or d (sq8)
     code_dt = shards[0][3].dtype
     # bucketed stacks: dead bucket rows carry 1e9 coarse centroids
     cent_stack = np.full((n_shards, max_buckets, d), 1e9, dtype=np.float32)
