@@ -371,12 +371,29 @@ def _exact_search_blockmin(
     bmins = jnp.moveaxis(bms, 0, 1).reshape(b, -1)  # [B, N_pad/w]
     nb = min(k + slack, bmins.shape[1])
     _, blk = top_k_smallest(bmins, nb)
+    # Rescore by gathering whole w-row BLOCKS, not w scattered rows:
+    # HLO row-gather cost is per-ROW latency (~0.2 us) regardless of
+    # width (CLAUDE.md gather cost model), so nb block rows of w*d
+    # elements cost ~w x less gather latency than nb*w single rows.
+    # End-to-end time on the tunnel is unchanged (~65-70 ms at 1M/k=100 —
+    # stage 1 + selection dominate there), but the rescore no longer
+    # scales with k*w row-latency, which matters at large k and on
+    # runtimes without the tunnel's dispatch floor.
+    blocks = dbp.reshape(-1, w, dim)  # [N_pad/w, w, d] (padded view)
+    bvecs = blocks[blk]  # [B, nb, w, d]
+    if metric == "l2":
+        diff = bvecs - queries[:, None, None, :]
+        cd = jnp.sum(diff * diff, axis=-1)  # VPU: exact to f32 rounding
+    else:  # ip/cosine: negated dot, VPU sum (exact)
+        cd = -jnp.sum(bvecs * queries[:, None, None, :], axis=-1)
     cand = (
         blk[:, :, None] * w
         + jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
     ).reshape(b, nb * w)
     cand = jnp.where(cand < n, cand, -1)
-    cd = rescore(queries, database, cand, metric)
+    cd = jnp.where(cand.reshape(b, nb, w) >= 0, cd, jnp.inf).reshape(
+        b, nb * w
+    )
     vals, sel = top_k_smallest(cd, k)
     ids = jnp.take_along_axis(cand, sel, axis=1)
     ids = jnp.where(jnp.isfinite(vals), ids, -1)
