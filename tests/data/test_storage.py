@@ -254,3 +254,27 @@ def test_streaming_gt_cosine_matches_dense(tmp_path):
     gt_stream = compute_ground_truth(mm, q, 5, "cosine")
     gt_dense = compute_ground_truth(ref, q, 5, "cosine")
     np.testing.assert_array_equal(gt_stream, gt_dense)
+
+
+def test_streamed_tail_smaller_than_overfetch(tmp_path):
+    """Regression: a final chunk with fewer rows than k+overfetch must not
+    resurrect padded zero rows through the l2 rescore (silently corrupted
+    ground truth with out-of-range ids before the fix)."""
+    from vectordb_retrieval_tpu.data.storage import (
+        BigStore,
+        streamed_exact_search,
+    )
+
+    rng = np.random.default_rng(3)
+    # 1056 rows with chunk_rows=1000 -> 56-row ragged tail < kk = 10+16
+    ref = rng.standard_normal((1056, 16)).astype(np.float32) + 5.0
+    path = str(tmp_path / "c.bin")
+    with BigStore.create(path, 16) as w:
+        w.append(ref)
+    s = BigStore.open(path)
+    q = rng.standard_normal((4, 16)).astype(np.float32) + 5.0
+    d, ids = streamed_exact_search(q, s, 10, metric="l2", chunk_rows=1000)
+    assert (ids >= 0).all() and (ids < 1056).all()
+    full = ((q[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
+    exp = np.sort(full, axis=1)[:, :10]
+    np.testing.assert_allclose(np.sort(d, 1), exp, rtol=1e-4, atol=1e-4)

@@ -152,7 +152,8 @@ def ensure_sift1m(root: str) -> None:
     if not os.path.exists(archive):
         _download(SIFT1M_URL, archive)
     with tarfile.open(archive, "r:gz") as tf:
-        tf.extractall(root)
+        # 'data' filter blocks path traversal from a tampered archive
+        tf.extractall(root, filter="data")
     # archive extracts into sift/; move files up
     inner = os.path.join(root, "sift")
     if os.path.isdir(inner):
@@ -172,6 +173,11 @@ def ensure_glove50(path: str) -> None:
         _download(GLOVE_URL, archive)
     with zipfile.ZipFile(archive) as zf:
         zf.extract("glove.6B.50d.txt", root)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"glove archive extracted to {root} but {path} still missing "
+            "(custom glove_path must point at glove.6B.50d.txt)"
+        )
 
 
 class Dataset:
@@ -252,6 +258,10 @@ class Dataset:
             if os.path.exists(meta_path):
                 with open(meta_path) as f:
                     self.metadata = json.load(f)
+            # loaders may override the metric (msmarco defaults to cosine
+            # inside its loader); a cache hit must restore that choice or
+            # consumers would pair an l2 index with cosine ground truth
+            self.metric = self.metadata.get("metric", self.metric)
             return True
         except Exception:
             return False
@@ -355,8 +365,18 @@ class Dataset:
         self.train_vectors = base
         self.test_vectors = queries
         gt_path = os.path.join(root, "sift_groundtruth.ivecs")
-        if base_limit is None and os.path.exists(gt_path):
+        gt = None
+        # the TEXMEX file is L2 ground truth with 100 columns: only trust
+        # it when the metric matches and it is wide enough for gt_k
+        if (
+            base_limit is None
+            and self.metric == "l2"
+            and os.path.exists(gt_path)
+        ):
             gt = read_ivecs(gt_path, query_limit).astype(np.int64)
+            if gt.shape[1] < self._gt_k():
+                gt = None
+        if gt is not None:
             self.ground_truth = gt[:, : self._gt_k()]
         else:
             self.ground_truth = compute_ground_truth(
@@ -552,7 +572,19 @@ class Dataset:
             passages = passages[: int(base_limit)]
         if query_limit:
             queries = queries[: int(query_limit)]
-        self.train_vectors = np.ascontiguousarray(passages, dtype=np.float32)
+        # keep the memmap view when possible: np.ascontiguousarray would
+        # strip the np.memmap wrapper (is_out_of_core -> False) and defeat
+        # the streamed-GT / bounded-RSS path this option exists for
+        if (
+            isinstance(passages, np.memmap)
+            and passages.dtype == np.float32
+            and passages.flags["C_CONTIGUOUS"]
+        ):
+            self.train_vectors = passages
+        else:
+            self.train_vectors = np.ascontiguousarray(
+                passages, dtype=np.float32
+            )
         self.test_vectors = np.ascontiguousarray(queries, dtype=np.float32)
         self.metric = self.options.get("metric", "cosine")
         self.ground_truth = compute_ground_truth(

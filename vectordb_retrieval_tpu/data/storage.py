@@ -286,6 +286,10 @@ def _chunk_merge_step(metric: str, normalize: bool = False):
         cd, ci = dops.top_k_smallest(dist, min(kk, c))
         if metric == "l2":
             cd = dops.rescore_l2(q, chunk, ci)
+            # rescore_l2 recomputes every non-negative id, which would
+            # resurrect padded tail rows (their zero vectors often score
+            # better than real neighbours) — reapply the validity mask
+            cd = jnp.where(ci < n_valid, cd, jnp.inf)
         gids = jnp.where(jnp.isfinite(cd), ci + base, -1)
         cat_d = jnp.concatenate([best_d, cd], axis=1)
         cat_i = jnp.concatenate([best_i, gids], axis=1)

@@ -66,13 +66,14 @@ class HashingTfidfVectorizer:
     def transform(self, texts: Iterable[str]) -> np.ndarray:
         if self.idf_ is None:
             raise RuntimeError("fit() first")
+        idf = self.idf_.astype(np.float32)
         rows = []
         for text in texts:
             vec = np.zeros(self.n_features, dtype=np.float32)
             for t in _tokenize(text):
                 b, sign = self._bucket(t)
                 vec[b] += sign
-            vec = np.abs(vec) * self.idf_.astype(np.float32) * np.sign(vec)
+            vec = vec * idf
             norm = float(np.linalg.norm(vec))
             rows.append(vec / norm if norm > 0 else vec)
         return np.stack(rows) if rows else np.zeros((0, self.n_features), np.float32)
