@@ -598,11 +598,14 @@ class ANNSearcher(BaseSearcher):
                 + self._nprobe() * meta.get("max_list_len", 0)
             )
         if self.artifact.kind == "graph":
-            ef = max(int(self.params.get("efSearch", meta.get("efSearch", 100))) * 5 // 4, 16)
+            from vectordb_retrieval_tpu.models.graph import beam_geometry
+
+            ef_search = int(
+                self.params.get("efSearch", meta.get("efSearch", 100))
+            )
             degree = int(meta.get("degree", 32) or 32)
-            expand = max(8, min(ef, 1536 // degree))
             n = int(meta.get("n_vectors", n_database))
-            iters = 3 + (n > 50_000) + (n > 500_000)
+            _, expand, _, iters = beam_geometry(n, degree, ef_search, 10)
             return int(
                 meta.get("n_entry", 0) or min(2048, max(16, n // 10))
             ) + int(iters * expand * degree)

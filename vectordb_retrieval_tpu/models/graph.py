@@ -124,6 +124,27 @@ class GraphIndexer(BaseIndexer):
         )
 
 
+def beam_geometry(n: int, degree: int, ef_search: int, k: int):
+    """Shared beam-search geometry ``(ef, expand, keep, iters)``.
+
+    efSearch -> beam width: our flat beam needs ~1.25x HNSW's heap size
+    for the same recall (no hierarchy); calibrated on 20k random 64d
+    (beam 128 -> 0.94 recall vs FAISS efSearch=100 -> 0.916, BASELINE.md).
+    Geometry from the round-2 sweep (scripts/exp_beam_table_tune.py):
+    ~1536 scored rows per iteration (W = 1536/R), insert cap ~0.75*ef,
+    3 iterations at 20k growing with log-ish N (deeper hop chains).
+    Single source of truth for the serving path, the sharded path and
+    the op-count estimator — tune here, everywhere follows.
+    """
+    ef = max(int(ef_search * 1.25), k + 8, 16)
+    ef = min(ef, n)
+    expand = min(max(8, min(ef, 1536 // max(degree, 1))), ef)
+    keep = max(k, (3 * ef) // 4)
+    iters = 3 + (n > 50_000) + (n > 500_000)
+    iters = max(iters, -(-ef // keep) + 1)
+    return ef, expand, keep, iters
+
+
 def graph_artifact_search(
     artifact: IndexArtifact,
     q: jax.Array,
@@ -134,18 +155,7 @@ def graph_artifact_search(
     meta = artifact.metadata
     n = meta["n_vectors"]
     degree = int(meta.get("degree", artifact.data["adjacency"].shape[1]))
-    # efSearch -> beam width: our flat beam needs ~1.25x HNSW's heap size
-    # for the same recall (no hierarchy); calibrated on 20k random 64d
-    # (beam 128 -> 0.94 recall vs FAISS efSearch=100 -> 0.916, BASELINE.md)
-    ef = max(int(ef_search * 1.25), k + 8, 16)
-    ef = min(ef, n)
-    # geometry from the round-2 sweep (scripts/exp_beam_table_tune.py):
-    # ~1536 scored rows per iteration (W = 1536/R), insert cap ~0.75*ef,
-    # 3 iterations at 20k growing with log-ish N (deeper hop chains)
-    expand = max(8, min(ef, 1536 // max(degree, 1)))
-    keep = max(k, (3 * ef) // 4)
-    iters = 3 + (n > 50_000) + (n > 500_000)
-    iters = max(iters, -(-ef // keep) + 1)
+    ef, expand, keep, iters = beam_geometry(n, degree, ef_search, k)
     nbr_vecs = artifact.data.get("nbr_vecs")
     dists, ids = gops.graph_search(
         q,
