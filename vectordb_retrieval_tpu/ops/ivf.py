@@ -112,13 +112,12 @@ def build_bucketed_lists(
     return slot_ids, bucket_lists, pad_ratio
 
 
-def _probe_scan(queries, centroids, probes, k, score_fn):
+def _probe_scan(probes, k, score_fn):
     """Shared nprobe loop: scan over probe ranks, merging a running top-k.
 
     ``score_fn(list_idx [B]) -> (dist [B, max_len], ids [B, max_len])``.
     """
-    b = queries.shape[0]
-    nprobe = probes.shape[1]
+    b, nprobe = probes.shape
     init = (
         jnp.full((b, k), jnp.inf, jnp.float32),
         jnp.full((b, k), -1, jnp.int32),
@@ -168,14 +167,26 @@ def ivf_flat_search(
     probes = _coarse_probes(queries, centroids, nprobe)
     qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
     compressed = list_vecs.dtype != jnp.float32 and full_vectors is not None
-    fetch_k = min(k + 8, k * 2) if compressed else k
+    # the k+8 overfetch is the bf16-noise margin — do not shrink it at
+    # small k (a k*2 cap left k=1 with a single spare candidate)
+    fetch_k = k + 8 if compressed else k
     q_cast = queries.astype(list_vecs.dtype)
+    # f32 lists feed the ranking directly (no rescore): DEFAULT precision
+    # would truncate them to bf16 and silently forfeit the f32 mode's
+    # recall advantage (CLAUDE.md precision rule). bf16 lists are rescored
+    # exactly afterwards, so DEFAULT is fine there.
+    prec = (
+        jax.lax.Precision.HIGH
+        if list_vecs.dtype == jnp.float32
+        else None
+    )
 
     def score(lists):
         vecs = list_vecs[lists]  # [B, L, d]
         ids = slot_ids[lists]  # [B, L]
         dots = jnp.einsum(
-            "bld,bd->bl", vecs, q_cast, preferred_element_type=jnp.float32
+            "bld,bd->bl", vecs, q_cast,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         if metric == "l2":
             dist = qn[:, None] + list_sqnorms[lists] - 2.0 * dots
@@ -183,7 +194,7 @@ def ivf_flat_search(
             dist = -dots
         return dist, ids
 
-    dists, ids = _probe_scan(queries, centroids, probes, fetch_k, score)
+    dists, ids = _probe_scan(probes, fetch_k, score)
     if compressed:
         cd = dops.rescore(queries, full_vectors, ids, metric)
         vals, sel = dops.top_k_smallest(cd, k)
@@ -237,7 +248,8 @@ def ivf_pq_search(
 ) -> Tuple[jax.Array, jax.Array]:
     """IVF-PQ with decode-on-read, in one of two transient regimes.
 
-    Small indexes (reconstruction <= ~192 MB bf16): reconstruct every list
+    Small indexes (reconstruction within _IVFPQ_RESIDENT_BUDGET, 512 MB
+    bf16): reconstruct every list
     ONCE per query batch (query-independent chunked one-hot decode), then
     probe like IVF-Flat. Per-probe decoding (classic CPU ADC) would
     re-decode each probed list per query — ~50x more decode work than the
@@ -295,7 +307,7 @@ def ivf_pq_search(
                 dist = -dots
             return dist, ids
 
-        return _probe_scan(queries, centroids, probes, k, score)
+        return _probe_scan(probes, k, score)
 
     # --- streaming masked scan (bounded transient) ---
     chunk = max(1, min(n_bkt, chunk_budget // max(L * d * 2, 1)))
@@ -396,4 +408,4 @@ def ivf_sq_search(
             dist = -dots
         return dist, ids
 
-    return _probe_scan(queries, centroids, probes, k, score)
+    return _probe_scan(probes, k, score)

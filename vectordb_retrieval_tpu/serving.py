@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vectordb_retrieval_tpu.models.base import pad_batch
 from vectordb_retrieval_tpu.ops import distances as dops
 
 _BIG = jnp.inf
@@ -270,7 +271,10 @@ class MutableFlatIndex:
                 np.full((b, k), -1, np.int64),
             )
         q = np.ascontiguousarray(np.atleast_2d(queries), dtype=np.float32)
-        qd = jnp.asarray(q)
+        # bucketed batch padding: serving clients send ragged batch sizes,
+        # and each distinct B would otherwise be a fresh compile
+        padded, n_q = pad_batch(q)
+        qd = jnp.asarray(padded)
         metric = self.metric
         if metric == "cosine":
             qd = dops.normalize(qd)
@@ -287,8 +291,8 @@ class MutableFlatIndex:
         dists, slots = _masked_search(
             qd, self._vectors, self._sqnorms, pen, eff_k, metric
         )
-        dists = np.asarray(dists)
-        slots = np.asarray(slots)
+        dists = np.asarray(dists)[:n_q]
+        slots = np.asarray(slots)[:n_q]
         ids = np.where(slots >= 0, self._slot_ids[np.abs(slots)], -1)
         ids = np.where(np.isfinite(dists), ids, -1)
         dists = np.where(ids >= 0, dists, np.inf)
@@ -452,11 +456,11 @@ class MutableIVFIndex:
         rows_b, rows_s = np.empty(m, np.int32), np.empty(m, np.int32)
         for i in range(m):
             lst = int(assign[i])
-            bucket = next(
-                (b for b in self._list_buckets[lst] if self._fill[b] < self._L),
-                None,
-            )
-            if bucket is None:
+            # slots are append-only, so only the list's LAST bucket can
+            # have free space — O(1) placement instead of rescanning every
+            # full bucket of a hot list per insert
+            bucket = self._list_buckets[lst][-1]
+            if self._fill[bucket] >= self._L:
                 bucket = self._new_bucket(lst)
             rows_b[i], rows_s[i] = bucket, self._fill[bucket]
             self._fill[bucket] += 1
@@ -504,7 +508,8 @@ class MutableIVFIndex:
                 np.full((b, k), np.inf, np.float32),
                 np.full((b, k), -1, np.int64),
             )
-        qd = jnp.asarray(q)
+        padded, _ = pad_batch(q)  # bucketed sizes: one compile per bucket
+        qd = jnp.asarray(padded)
         metric = self.metric
         if metric == "cosine":
             qd = dops.normalize(qd)
@@ -517,18 +522,22 @@ class MutableIVFIndex:
         # not mint a fresh static jit argument (= a full recompile, tens
         # of seconds on the remote tunnel) per added bucket — extra
         # probes only help recall.
-        eff = min(max(1, npb * self._nb // self.nlist), self._nb)
+        physical = int(self._slot_ids.shape[0])
+        eff = min(max(1, npb * self._nb // self.nlist), physical)
         q2 = 1
         while q2 < eff:
             q2 *= 2
-        eff = min(q2, self._nb)
-        eff_k = min(k, self._nb * self._L)
+        # cap with the PHYSICAL row count (changes only on doubling):
+        # capping with _nb would re-mint a static jit arg per added bucket;
+        # probed dead buckets only contribute masked -1/inf slots
+        eff = min(q2, physical)
+        eff_k = min(k, physical * self._L)
         dists, ids = ivfops.ivf_flat_search(
             qd, self._coarse, self._slot_ids, self._list_vecs,
             self._list_sqn, eff_k, eff, metric=metric,
         )
-        dists = np.asarray(dists)
-        ids = np.asarray(ids).astype(np.int64)
+        dists = np.asarray(dists)[:b]
+        ids = np.asarray(ids).astype(np.int64)[:b]
         ids = np.where(np.isfinite(dists), ids, -1)
         if dists.shape[1] < k:
             padw = k - dists.shape[1]
