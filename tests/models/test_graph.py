@@ -132,3 +132,74 @@ def test_int8_neighbor_table_recall(rng):
     r_int8 = run("int8")
     assert r_int8 > 0.85
     assert abs(r_bf16 - r_int8) < 0.05
+
+
+def _clustered(rng, n=60_000, d=32, nq=48, n_clusters=400):
+    """Clustered corpus (the data class block mode exists for)."""
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 4
+    assign = rng.integers(0, n_clusters, n)
+    x = centers[assign] + rng.standard_normal((n, d)).astype(np.float32) * 0.3
+    qi = rng.choice(n, nq, replace=False)
+    q = x[qi] + rng.standard_normal((nq, d)).astype(np.float32) * 0.05
+    return x.astype(np.float32), q.astype(np.float32)
+
+
+def test_block_mode_recall_and_memory_parity(rng):
+    import jax.numpy as jnp
+
+    from vectordb_retrieval_tpu.ops import distances as dops
+
+    x, q = _clustered(rng)
+    gt = np.asarray(dops.exact_search(jnp.asarray(q), jnp.asarray(x), 10)[1])
+    algo = CompositeAlgorithm(
+        dimension=x.shape[1],
+        indexer={"type": "GraphIndexer", "M": 16, "mode": "block"},
+        searcher={"type": "ANNSearcher", "efSearch": 128},
+        metric="l2",
+    )
+    algo.build_index(x)
+    meta = algo.artifact.metadata
+    assert meta["mode"] == "block"
+    # memory parity: the whole artifact within 1.25x of the corpus bytes
+    assert algo.artifact.device_nbytes() <= 1.25 * x.nbytes
+    _, ids = algo.batch_search(q, 10)
+    assert recall_at_k(gt, ids, 10) > 0.95
+    # returned ids are unique per row (block dedup ensures no double-probe)
+    for r in range(ids.shape[0]):
+        got = [i for i in ids[r].tolist() if i >= 0]
+        assert len(got) == len(set(got))
+
+
+def test_block_mode_auto_falls_back_on_structureless_data(rng):
+    from vectordb_retrieval_tpu.models.graph import (
+        _BLOCK_AUTO_THRESHOLD, GraphIndexer,
+    )
+
+    n = _BLOCK_AUTO_THRESHOLD + 4_000
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    art = GraphIndexer(M=8, efSearch=64).build(x, 16)
+    # i.i.d. gaussian: block routing self-check fails -> node mode artifact
+    assert "entries" not in art.data
+    assert art.data.get("adjacency") is not None
+
+
+def test_block_mode_persistence_roundtrip(tmp_path, rng):
+    x, q = _clustered(rng, n=55_000)
+    algo = CompositeAlgorithm(
+        dimension=x.shape[1],
+        indexer={"type": "GraphIndexer", "M": 8, "mode": "block"},
+        searcher={"type": "ANNSearcher", "efSearch": 64},
+        metric="l2",
+    )
+    algo.build_index(x)
+    d0, i0 = algo.batch_search(q, 5)
+    algo.save_index(str(tmp_path / "g"), {"dataset_fingerprint": "f"})
+    algo2 = CompositeAlgorithm(
+        dimension=x.shape[1],
+        indexer={"type": "GraphIndexer", "M": 8, "mode": "block"},
+        searcher={"type": "ANNSearcher", "efSearch": 64},
+        metric="l2",
+    )
+    algo2.load_index(str(tmp_path / "g"), {"dataset_fingerprint": "f"})
+    d1, i1 = algo2.batch_search(q, 5)
+    assert np.array_equal(i0, i1)

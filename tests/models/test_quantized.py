@@ -182,8 +182,9 @@ def test_ivf_ops_estimate(rng):
     ops = algo.get_operations()
     meta = algo.artifact.metadata
     # bucketed layout: coarse scan covers every bucket, and "nprobe lists"
-    # scales to nprobe * n_buckets / nlist probed buckets
-    nprobe_eff = -(-4 * meta["n_buckets"] // meta["nlist"])
+    # budgets enough buckets to cover the nprobe LARGEST lists
+    # (ops/ivf.probe_budget_cum — skew-proof coverage)
+    nprobe_eff = int(meta["probe_cum"][3])
     nprobe_eff = max(1, min(nprobe_eff, meta["n_buckets"]))
     expected = (
         meta["n_buckets"] + nprobe_eff * meta["max_list_len"]

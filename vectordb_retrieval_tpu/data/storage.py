@@ -20,6 +20,7 @@ NumPy-API consumers (slicing pages in lazily).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import Iterator, Optional, Union
@@ -259,8 +260,14 @@ def corpus_to_device(
     return out.astype(dtype) if dtype is not None else out
 
 
+@functools.lru_cache(maxsize=None)
 def _chunk_merge_step(metric: str, normalize: bool = False):
     """Build the jitted per-chunk merge for :func:`streamed_exact_search`.
+
+    Memoized per (metric, normalize): a fresh closure per call would carry
+    a fresh jax.jit cache, so every invocation would re-trace and
+    re-compile even at identical shapes — tens of seconds per GT
+    computation on the remote tunnel.
 
     One compiled program per (metric, chunk/batch shape): score the chunk,
     take its local top-kk with the cancellation-free l2 rescore

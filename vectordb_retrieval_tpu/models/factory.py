@@ -294,6 +294,10 @@ class FactoryIndexer(BaseIndexer):
                 "n_buckets": int(slot_ids_np.shape[0]),
                 "pad_ratio": pad_ratio,
                 "max_list_len": int(slot_ids_np.shape[1]),
+                "probe_cum": [
+                    int(v)
+                    for v in ivfops.probe_budget_cum(bucket_lists_np, nlist)
+                ],
             }
         )
         bucket_lists = jnp.asarray(bucket_lists_np)
@@ -376,6 +380,10 @@ class FactoryIndexer(BaseIndexer):
                 "n_buckets": int(slot_ids_np.shape[0]),
                 "pad_ratio": pad_ratio,
                 "max_list_len": int(slot_ids_np.shape[1]),
+                "probe_cum": [
+                    int(v)
+                    for v in ivfops.probe_budget_cum(bucket_lists_np, nlist)
+                ],
             }
         )
         data: Dict[str, Any] = {
@@ -385,6 +393,10 @@ class FactoryIndexer(BaseIndexer):
         }
 
         if spec["coding"] == "flat":
+            # recorded so benchmark comparisons against reference (f32 FAISS
+            # scoring) recalls can account for the bf16-list ~0.5% delta
+            # when the exact re-rank is off (docs/parity.md)
+            meta["exact_rescore"] = bool(self.exact_rescore)
             list_vecs = _gather_slots(x, slot_ids_np)
             data["list_sqnorms"] = jnp.sum(list_vecs * list_vecs, axis=-1)
             if self.list_dtype == "bf16":
@@ -465,14 +477,30 @@ class ANNSearcher(BaseSearcher):
             self.params.get("nprobe", self.artifact.metadata.get("nprobe", 10))
         )
         # bucketed lists: "probe nprobe lists" means probing every bucket of
-        # the top lists; buckets of one list share a (duplicated) centroid,
-        # so scaling the bucket-probe count by n_buckets/nlist preserves the
-        # reference's nprobe semantics on the bucketed coarse table
+        # the top lists. The probe budget comes from ``probe_cum`` (sum of
+        # the nprobe LARGEST per-list bucket counts, ops/ivf.probe_budget_cum)
+        # which guarantees coverage of the nprobe nearest lists under any
+        # skew — average-based scaling did not (one giant list could consume
+        # every probe slot before the second list was reached).
         meta = self.artifact.metadata
         nlist = int(meta.get("nlist", 0))
         n_buckets = int(meta.get("n_buckets", nlist))
         if nlist and n_buckets > nlist:
-            nprobe = -(-nprobe * n_buckets // nlist)
+            cum = meta.get("probe_cum")
+            if cum is None:
+                bl = self.artifact.data.get("bucket_lists")
+                if bl is not None:  # legacy artifact: derive once, cache
+                    cum = [
+                        int(v)
+                        for v in ivfops.probe_budget_cum(
+                            np.asarray(bl), nlist
+                        )
+                    ]
+                    meta["probe_cum"] = cum
+            if cum is not None:
+                nprobe = int(cum[min(nprobe, len(cum)) - 1])
+            else:  # legacy sharded artifact without bucket_lists
+                nprobe = -(-nprobe * n_buckets // nlist)
         return max(1, min(nprobe, n_buckets or nprobe))
 
     def _score_metric(self) -> str:
@@ -598,11 +626,21 @@ class ANNSearcher(BaseSearcher):
                 + self._nprobe() * meta.get("max_list_len", 0)
             )
         if self.artifact.kind == "graph":
-            from vectordb_retrieval_tpu.models.graph import beam_geometry
+            from vectordb_retrieval_tpu.models.graph import (
+                beam_geometry,
+                block_geometry,
+            )
 
             ef_search = int(
                 self.params.get("efSearch", meta.get("efSearch", 100))
             )
+            if meta.get("mode") == "block":
+                _, expand, iters = block_geometry(
+                    int(meta["n_blocks"]), ef_search, 10
+                )
+                return int(meta["n_blocks"]) + int(
+                    expand * iters * meta.get("block_len", 0)
+                )
             degree = int(meta.get("degree", 32) or 32)
             n = int(meta.get("n_vectors", n_database))
             _, expand, _, iters = beam_geometry(n, degree, ef_search, 10)

@@ -33,6 +33,13 @@ from vectordb_retrieval_tpu.ops import distances as dops
 from vectordb_retrieval_tpu.ops import graph as gops
 
 
+# auto mode switches to the memory-parity block layout above this row
+# count: the node-level neighbour table costs R x corpus there (9.4x at
+# 1M — the round-2 memory finding) while block-slab gathers are already
+# the fast shape
+_BLOCK_AUTO_THRESHOLD = 50_000
+
+
 @register_indexer("GraphIndexer")
 @register_indexer("HNSWIndexer")
 class GraphIndexer(BaseIndexer):
@@ -47,6 +54,8 @@ class GraphIndexer(BaseIndexer):
         nbr_table: str = "auto",  # auto | on | off
         nbr_table_budget_mb: int = 2048,
         nbr_table_dtype: str = "auto",  # auto | bf16 | int8
+        mode: str = "auto",  # auto | node | block
+        block_size: int = 0,  # block mode: target rows per block (0 = auto)
         **params: Any,
     ):
         super().__init__(metric=metric, **params)
@@ -58,12 +67,95 @@ class GraphIndexer(BaseIndexer):
         self.nbr_table = str(nbr_table)
         self.nbr_table_budget_mb = int(nbr_table_budget_mb)
         self.nbr_table_dtype = str(nbr_table_dtype)
+        if mode not in ("auto", "node", "block"):
+            raise ValueError("mode must be 'auto', 'node' or 'block'")
+        self.mode = mode
+        self.block_size = int(block_size)
+
+    def _build_block(self, x: jax.Array, dimension: int) -> IndexArtifact:
+        """Memory-parity large-N layout (ops/graph.build_block_graph)."""
+        n = x.shape[0]
+        block = self.block_size or 128
+        n_blocks = max(1, -(-n // block))
+        degree = max(4, min(2 * self.M, n_blocks - 1))
+        (
+            entries, entry_block, slot_ids, list_vecs, list_sqn, adj,
+        ) = gops.build_block_graph(x, n_blocks, degree, seed=self.seed)
+        data = {
+            "entries": entries,
+            "entry_block": entry_block,
+            "slot_ids": slot_ids,
+            "list_vecs": list_vecs,
+            "list_sqnorms": list_sqn,
+            "entry_adj": adj,
+        }
+        return IndexArtifact(
+            "graph",
+            jax.block_until_ready(data),
+            {
+                "metric": self.metric,
+                "dimension": int(dimension),
+                "n_vectors": int(n),
+                "normalize_queries": self.metric == "cosine",
+                "M": self.M,
+                "degree": int(adj.shape[1]),
+                "efConstruction": self.efConstruction,
+                "efSearch": self.efSearch,
+                "mode": "block",
+                "n_blocks": int(slot_ids.shape[0]),
+                "n_entries": int(entries.shape[0]),
+                "block_len": int(slot_ids.shape[1]),
+            },
+        )
+
+    def _block_selfcheck(self, artifact: IndexArtifact, x: jax.Array) -> float:
+        """Routing-quality probe: recall@10 of a 256-row sample vs exact.
+
+        Cluster routing needs cluster structure: on structureless
+        (i.i.d. gaussian) corpora the true neighbours of a row scatter
+        uniformly across blocks and block recall collapses (measured 0.35
+        at 60k random 64d vs 0.99 on the SIFT-shaped surrogate). The probe
+        costs one exact scan + one block search over 256 rows."""
+        n = x.shape[0]
+        idx = np.linspace(0, n - 1, num=min(256, n), dtype=np.int64)
+        sample = x[jnp.asarray(idx)]
+        metric = "ip" if self.metric in ("ip", "cosine") else "l2"
+        _, gt = dops.exact_search(sample, x, 10, metric=metric)
+        _, got = graph_artifact_search(
+            artifact, sample, 10, metric, self.efSearch
+        )
+        gt, got = np.asarray(gt), np.asarray(got)
+        hits = sum(
+            len(set(gt[r].tolist()) & set(got[r].tolist()))
+            for r in range(gt.shape[0])
+        )
+        return hits / gt.size
 
     def build(self, vectors: np.ndarray, dimension: int) -> IndexArtifact:
-        x = jnp.asarray(np.ascontiguousarray(vectors, dtype=np.float32))
+        from vectordb_retrieval_tpu.data.storage import corpus_to_device
+
+        x = corpus_to_device(vectors)
         if self.metric == "cosine":
             x = dops.normalize(x)
         n = x.shape[0]
+        if self.mode == "block" or (
+            self.mode == "auto" and n > _BLOCK_AUTO_THRESHOLD
+        ):
+            art = self._build_block(x, dimension)
+            check = self._block_selfcheck(art, x)
+            art.metadata["selfcheck_recall"] = round(float(check), 4)
+            if check >= 0.85 or self.mode == "block":
+                if check < 0.85:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "block-mode graph self-check recall %.2f < 0.85 "
+                        "(structureless corpus?); mode='block' was "
+                        "explicit so keeping it", check,
+                    )
+                return art
+            # auto + structureless corpus: node-level beam handles it
+            del art
         degree = min(2 * self.M, max(n - 1, 1))
         adjacency = gops.build_knn_graph(x, degree)
         # coarse-quantizer entries replace HNSW's upper layers; a dense
@@ -145,6 +237,22 @@ def beam_geometry(n: int, degree: int, ef_search: int, k: int):
     return ef, expand, keep, iters
 
 
+def block_geometry(n_blocks: int, ef_search: int, k: int):
+    """Block-mode beam geometry ``(efb, expand, iters)``.
+
+    efSearch maps to the probe budget (total blocks scored =
+    ``expand * iters``): at the default block size (~128 rows) probing
+    ~efSearch/2 blocks lands the recall in the same band as HNSW at the
+    same efSearch (calibrated on the SIFT-shaped surrogate, round 3).
+    The frontier ``efb`` only needs headroom over one expansion wave.
+    """
+    probes = max(8, min(-(-ef_search // 2), n_blocks))
+    expand = max(4, min(8, probes))
+    iters = max(1, -(-probes // expand))
+    efb = min(max(4 * expand, 32), n_blocks)
+    return efb, expand, iters
+
+
 def graph_artifact_search(
     artifact: IndexArtifact,
     q: jax.Array,
@@ -154,6 +262,24 @@ def graph_artifact_search(
 ) -> Tuple[jax.Array, jax.Array]:
     meta = artifact.metadata
     n = meta["n_vectors"]
+    if meta.get("mode") == "block":
+        efb, expand, iters = block_geometry(
+            int(meta["n_blocks"]), ef_search, k
+        )
+        return gops.block_graph_search(
+            q,
+            artifact.data["entries"],
+            artifact.data["entry_block"],
+            artifact.data["slot_ids"],
+            artifact.data["list_vecs"],
+            artifact.data["list_sqnorms"],
+            artifact.data["entry_adj"],
+            k,
+            efb=efb,
+            expand=expand,
+            iters=iters,
+            metric=metric,
+        )
     degree = int(meta.get("degree", artifact.data["adjacency"].shape[1]))
     ef, expand, keep, iters = beam_geometry(n, degree, ef_search, k)
     nbr_vecs = artifact.data.get("nbr_vecs")

@@ -120,10 +120,13 @@ def _ivf_candidate_searcher(
     safe = jnp.asarray(np.where(slot_np >= 0, slot_np, 0))
     list_vecs = vectors[safe]
     list_sqn = jnp.sum(list_vecs * list_vecs, axis=-1)
-    # probing nprobe LISTS means probing all their buckets (bucketed-table
-    # semantics, models/factory.ANNSearcher._nprobe)
+    # probing nprobe LISTS means probing all their buckets; the budget is
+    # the sum of the nprobe largest lists' bucket counts (guaranteed
+    # coverage under skew — ops/ivf.probe_budget_cum), not the average
+    # scaling that silently degraded candidate quality on clustered data
     n_buckets = slot_np.shape[0]
-    eff_probe = min(max(1, nprobe * n_buckets // nlist), n_buckets)
+    cum = ivfops.probe_budget_cum(bucket_lists_np, nlist)
+    eff_probe = int(min(cum[min(nprobe, len(cum)) - 1], n_buckets))
 
     def search(q):
         return ivfops.ivf_flat_search(
@@ -261,6 +264,254 @@ def build_neighbor_table(
     v32 = vectors.astype(jnp.float32)
     sqn = jnp.sum(v32 * v32, axis=-1)[safe]
     return table, sqn, None, None
+
+
+def build_block_graph(
+    vectors: jax.Array,
+    n_blocks: int,
+    degree: int,
+    seed: int = 42,
+    train_iters: int = 12,
+    block_cap: int = 1024,
+):
+    """Memory-parity graph layout: bucketed corpus + block-level RNG graph.
+
+    The node-level neighbour-vector table (build_neighbor_table) buys fast
+    block gathers with R x index memory — 9.4x the corpus at 1M (the
+    round-2 memory finding). This layout gets the same contiguous-gather
+    property at ~1.05x corpus by re-ordering the corpus itself: rows are
+    clustered into ~fixed-size blocks (k-means + the bucketed list layout
+    from ops/ivf — the same machinery that made IVF memory-parity), and
+    the graph lives at BLOCK granularity over block centroids. HNSW's
+    hierarchy becomes the dense [B, n_blocks] centroid scan (cheap on the
+    MXU at any corpus size that fits one chip) and HNSW's level-0 walk
+    becomes a beam over blocks: expanding a block gathers its WHOLE
+    ``[L, d]`` member slab — contiguous rows, the gather shape HBM likes —
+    and its graph neighbours refine the probe set beyond the static
+    top-nprobe ranking (boundary queries pull in blocks whose centroid
+    ranked poorly). Substitutes reference ``IndexHNSWFlat``
+    (src/algorithms/hnsw.py:76-81) per SURVEY.md section 7 hard-part (b).
+
+    Returns ``(entries [Ne, d], entry_block [Ne], slot_ids [Nb, L],
+    list_vecs [Nb, L, d], list_sqn [Nb, L], entry_adj [Ne, R])``.
+    """
+    from vectordb_retrieval_tpu.ops import ivf as ivfops
+    from vectordb_retrieval_tpu.ops.kmeans import (
+        kmeans_assign,
+        kmeans_fit,
+        training_sample,
+    )
+
+    n, d = vectors.shape
+    n_blocks = max(1, min(n_blocks, n))
+    sample = training_sample(n, n_blocks, seed)
+    train = vectors if sample is None else vectors[sample]
+    centroids, _ = kmeans_fit(train, n_blocks, seed=seed, iters=train_iters)
+    # chunked assign keeps the [chunk, n_blocks] distance transient bounded
+    assigns = []
+    step = max(1, (64 << 20) // max(n_blocks * 4, 1))
+    for s in range(0, n, step):
+        assigns.append(np.asarray(kmeans_assign(vectors[s : s + step], centroids)))
+    assign = np.concatenate(assigns)
+    # ZERO-padding layout: cluster-sort the corpus and chop into EXACT
+    # fixed-size blocks (only the final block carries pad slots). The IVF
+    # bucketed layout pads every list's last bucket — measured 1.55x
+    # corpus on the skewed SIFT surrogate; routing a chopped block by its
+    # raw mean loses the cluster tails that leak into mixed boundary
+    # blocks (measured recall 0.996 -> 0.915). So routing is decoupled
+    # from storage: one router ENTRY per (cluster, block) SEGMENT — the
+    # mean of that cluster's rows inside that block — with an
+    # entry->block map. A boundary block holding tails of two clusters
+    # gets two entries, each sitting in its own cluster, so every row
+    # stays reachable; probing any entry scores the whole block and the
+    # beam dedups by block id.
+    block_len = max(1, -(-n // n_blocks))
+    n_blocks = -(-n // block_len)
+    order = np.argsort(assign, kind="stable").astype(np.int32)
+    pad = n_blocks * block_len - n
+    slot_np = np.concatenate(
+        [order, np.full(pad, -1, np.int32)]
+    ).reshape(n_blocks, block_len)
+    safe = jnp.asarray(np.where(slot_np >= 0, slot_np, 0))
+    mask = (jnp.asarray(slot_np) >= 0)[:, :, None]
+    list_vecs = vectors[safe] * mask  # [Nb, L, d] f32 — IS the corpus copy
+    list_sqn = jnp.sum(list_vecs * list_vecs, axis=-1)
+    # segments: maximal runs of one cluster within one block
+    sorted_assign = assign[order]
+    block_of = np.arange(n) // block_len
+    boundary = np.ones(n, dtype=bool)
+    boundary[1:] = (sorted_assign[1:] != sorted_assign[:-1]) | (
+        block_of[1:] != block_of[:-1]
+    )
+    seg_ids = np.cumsum(boundary) - 1  # [n]
+    n_entries = int(seg_ids[-1]) + 1 if n else 1
+    entry_block = jnp.asarray(
+        block_of[boundary].astype(np.int32)
+    )  # [Ne]
+    flat_sorted = list_vecs.reshape(n_blocks * block_len, d)[:n]
+    seg_dev = jnp.asarray(seg_ids.astype(np.int32))
+    sums = jax.ops.segment_sum(flat_sorted, seg_dev, num_segments=n_entries)
+    cnts = jax.ops.segment_sum(
+        jnp.ones((n,), jnp.float32), seg_dev, num_segments=n_entries
+    )
+    entries = sums / jnp.maximum(cnts, 1.0)[:, None]  # [Ne, d]
+    # entry-level RNG graph — exact build is trivial at Ne ~ 1.5 N/L rows
+    adj = build_knn_graph(entries, min(degree, entries.shape[0] - 1),
+                          method="exact")
+    return (
+        entries,
+        entry_block,
+        jnp.asarray(slot_np),
+        list_vecs,
+        list_sqn,
+        adj,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "efb", "expand", "iters", "metric"),
+)
+def block_graph_search(
+    queries: jax.Array,
+    entries: jax.Array,  # [Ne, d] router entries (segment means)
+    entry_block: jax.Array,  # [Ne] entry -> block map
+    slot_ids: jax.Array,  # [Nb, L] member row ids (-1 pad)
+    list_vecs: jax.Array,  # [Nb, L, d] f32 member slabs (the corpus)
+    list_sqn: jax.Array,  # [Nb, L]
+    entry_adj: jax.Array,  # [Ne, R] entry graph
+    k: int,
+    efb: int = 32,  # frontier width
+    expand: int = 8,  # blocks probed per iteration
+    iters: int = 8,  # probe budget = expand * iters
+    metric: str = "l2",
+) -> Tuple[jax.Array, jax.Array]:
+    """Beam over router entries; returns exact f32 ``(dists, ids) [B, k]``.
+
+    Routing: the dense entry scan (HNSW's hierarchy, one MXU matmul)
+    seeds a frontier of ``efb`` entries; each iteration pops the
+    ``expand`` nearest unvisited entries, scores ALL member rows of their
+    blocks (one contiguous ``[B, L, d]`` slab gather + HIGH-precision MXU
+    dot per block — ranking-feeding, so bf16 truncation is not allowed),
+    folds them into a running row top-k, and pushes the popped entries'
+    graph neighbours (deduplicated by BLOCK id against the visited list
+    and the frontier — several entries may route to one block) into the
+    frontier ranked by their already-computed entry distance (a [B, Ne]
+    take_along_axis, not a second scan). Visited blocks live in an
+    append-only per-iteration slab, so no block is ever probed twice and
+    the row top-k stays duplicate-free.
+    """
+    b, dim = queries.shape
+    ne = entries.shape[0]
+    efb = min(efb, ne)
+    expand = min(expand, efb)
+    big = jnp.inf
+    rows = jnp.arange(b)[:, None]
+    qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
+
+    cd = dops.pairwise_distances(queries, entries, metric)  # [B, Ne]
+    seed_d, seed_ids = dops.top_k_smallest(cd, efb)
+    beam_ids = seed_ids.astype(jnp.int32)  # entry ids
+    beam_blk = entry_block[beam_ids]
+    # seed block dedup: several seed entries can route to one block —
+    # later copies would be popped in a later wave and re-probe the block
+    # (duplicate rows in the final top-k)
+    seq = beam_blk[:, :, None] == beam_blk[:, None, :]
+    stri = jnp.tril(jnp.ones((efb, efb), dtype=jnp.bool_), k=-1)
+    sdup = jnp.any(seq & stri[None], axis=2)
+    beam_d = jnp.where(sdup, big, seed_d)
+    kk = min(k, slot_ids.shape[0] * slot_ids.shape[1])
+    rk_d = jnp.full((b, kk), big, jnp.float32)
+    rk_i = jnp.full((b, kk), -1, jnp.int32)
+    visited = jnp.full((b, expand * iters), -1, jnp.int32)  # block ids
+    prec = jax.lax.Precision.HIGH
+
+    def body(state, t):
+        beam_ids, beam_blk, beam_d, rk_d, rk_i, visited = state
+        # pop the `expand` nearest frontier entries
+        _, sel = jax.lax.approx_max_k(-beam_d, expand, recall_target=1.0)
+        sel_blocks = jnp.take_along_axis(beam_blk, sel, axis=1)  # [B, W]
+        sel_valid = jnp.isfinite(jnp.take_along_axis(beam_d, sel, axis=1))
+        sel_entries = jnp.take_along_axis(beam_ids, sel, axis=1)
+        # intra-wave block dedup (two frontier entries can share a block)
+        # + belt-and-braces visited check (any insertion-time dedup hole
+        # would otherwise re-probe a block -> duplicate output rows)
+        weq = sel_blocks[:, :, None] == sel_blocks[:, None, :]
+        wtri = jnp.tril(jnp.ones((expand, expand), dtype=jnp.bool_), k=-1)
+        wdup = jnp.any(weq & wtri[None], axis=2)
+        wvis = jnp.any(
+            sel_blocks[:, :, None] == visited[:, None, :], axis=2
+        )
+        sel_blocks = jnp.where(sel_valid & ~wdup & ~wvis, sel_blocks, -1)
+        beam_d = beam_d.at[rows, sel].set(big)
+        visited = jax.lax.dynamic_update_slice(
+            visited, sel_blocks, (0, t * expand)
+        )
+
+        # probe: one [B, L, d] slab gather + HIGH-precision dot per block
+        def probe(carry, w):
+            rk_d, rk_i = carry
+            blocks = sel_blocks[:, w]
+            safe = jnp.where(blocks >= 0, blocks, 0)
+            vecs = list_vecs[safe]  # [B, L, d] contiguous slab
+            ids = jnp.where(
+                (blocks >= 0)[:, None], slot_ids[safe], -1
+            )
+            dots = jnp.einsum(
+                "bld,bd->bl", vecs, queries,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            if metric == "l2":
+                dist = qn[:, None] + list_sqn[safe] - 2.0 * dots
+            else:
+                dist = -dots
+            dist = jnp.where(ids >= 0, dist, big)
+            cat_d = jnp.concatenate([rk_d, dist], axis=1)
+            cat_i = jnp.concatenate([rk_i, ids], axis=1)
+            nd, selr = dops.top_k_smallest(cat_d, kk)
+            return (nd, jnp.take_along_axis(cat_i, selr, axis=1)), None
+
+        (rk_d, rk_i), _ = jax.lax.scan(
+            probe, (rk_d, rk_i), jnp.arange(expand, dtype=jnp.int32)
+        )
+
+        # push graph neighbours of the popped entries into the frontier
+        safe_sel = jnp.where(sel_entries >= 0, sel_entries, 0)
+        nbr = jnp.where(
+            sel_valid[:, :, None], entry_adj[safe_sel], -1
+        ).reshape(b, -1)  # [B, W*R] entry ids
+        c = nbr.shape[1]
+        nbr_blk = jnp.where(
+            nbr >= 0, entry_block[jnp.where(nbr >= 0, nbr, 0)], -1
+        )
+        in_beam = jnp.any(
+            nbr_blk[:, :, None] == beam_blk[:, None, :], axis=2
+        )
+        in_vis = jnp.any(
+            nbr_blk[:, :, None] == visited[:, None, :], axis=2
+        )
+        eq = nbr_blk[:, :, None] == nbr_blk[:, None, :]
+        tri = jnp.tril(jnp.ones((c, c), dtype=jnp.bool_), k=-1)
+        dup = jnp.any(eq & tri[None], axis=2)
+        ncd = jnp.take_along_axis(cd, jnp.where(nbr >= 0, nbr, 0), axis=1)
+        ncd = jnp.where(
+            (nbr >= 0) & ~in_beam & ~in_vis & ~dup, ncd, big
+        )
+        cat_ids = jnp.concatenate([beam_ids, nbr], axis=1)
+        cat_blk = jnp.concatenate([beam_blk, nbr_blk], axis=1)
+        cat_d = jnp.concatenate([beam_d, ncd], axis=1)
+        nd, pos = jax.lax.approx_max_k(-cat_d, efb, recall_target=1.0)
+        beam_d = -nd
+        beam_ids = jnp.take_along_axis(cat_ids, pos, axis=1)
+        beam_blk = jnp.take_along_axis(cat_blk, pos, axis=1)
+        return (beam_ids, beam_blk, beam_d, rk_d, rk_i, visited), None
+
+    (beam_ids, beam_blk, beam_d, rk_d, rk_i, visited), _ = jax.lax.scan(
+        body,
+        (beam_ids, beam_blk, beam_d, rk_d, rk_i, visited),
+        jnp.arange(iters, dtype=jnp.int32),
+    )
+    return rk_d, rk_i
 
 
 def pick_entry_points(vectors: jax.Array, n_entry: int, seed: int = 0) -> jax.Array:

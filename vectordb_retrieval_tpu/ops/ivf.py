@@ -112,6 +112,28 @@ def build_bucketed_lists(
     return slot_ids, bucket_lists, pad_ratio
 
 
+def probe_budget_cum(bucket_lists: np.ndarray, nlist: int) -> np.ndarray:
+    """Bucket-probe budget table: ``cum[r]`` buckets cover ``r+1`` lists.
+
+    Buckets of one list share its (duplicated) centroid, so in the coarse
+    bucket ranking every bucket of the ``p`` nearest lists ranks before any
+    bucket of a farther list. Probing the nearest ``cum[p-1]`` buckets —
+    the sum of the ``p`` LARGEST per-list bucket counts — is therefore
+    guaranteed to cover every bucket of the ``p`` nearest lists, for every
+    query, whatever the skew. (The previous average-based scaling
+    ``nprobe * n_buckets / nlist`` broke exactly there: one giant list's
+    buckets consumed all probe slots — recall 0.33 vs 1.0 at nprobe=8 on a
+    60%-in-one-list corpus.) Slack slots fall to next-nearest lists'
+    buckets, so effective semantics are a superset of the reference's
+    "probe the nprobe nearest lists" (modular.py:437-441).
+    """
+    counts = np.bincount(
+        bucket_lists[bucket_lists >= 0], minlength=max(nlist, 1)
+    )
+    counts = np.maximum(counts, 1)  # empty lists keep one dead bucket
+    return np.cumsum(np.sort(counts)[::-1])
+
+
 def _probe_scan(probes, k, score_fn):
     """Shared nprobe loop: scan over probe ranks, merging a running top-k.
 

@@ -93,6 +93,23 @@ def _shard_bucketed_layouts(x, n_shards, nlist, seed, train_iters):
     return layouts, max_buckets, max_len
 
 
+def _sharded_probe_cum(layouts, nlist: int) -> list:
+    """Cross-shard probe-budget table (ops/ivf.probe_budget_cum semantics).
+
+    ``cum[r]`` must cover the ``r+1`` nearest lists on EVERY shard, so take
+    the elementwise max of each shard's sorted-descending per-list bucket
+    counts before the cumsum."""
+    worst = np.zeros(max(nlist, 1), np.int64)
+    for _c, _s, bucket_lists, _a in layouts:
+        counts = np.bincount(
+            bucket_lists[bucket_lists >= 0], minlength=max(nlist, 1)
+        )[:nlist]
+        srt = np.sort(counts)[::-1]
+        worst[: srt.size] = np.maximum(worst[: srt.size], srt)
+    cum = np.cumsum(np.maximum(worst, 1))
+    return [int(v) for v in cum]
+
+
 def build_sharded_ivf_flat(
     x: np.ndarray,
     mesh: Mesh,
@@ -143,6 +160,7 @@ def build_sharded_ivf_flat(
         "n_buckets": max_buckets,
         "max_list_len": max_len,
         "n_shards": n_shards,
+        "probe_cum": _sharded_probe_cum(layouts, nlist),
     }
 
 
@@ -323,6 +341,9 @@ def build_sharded_ivf_coded(
         "max_list_len": max_len,
         "n_shards": n_shards,
         "coding": coding,
+        "probe_cum": _sharded_probe_cum(
+            [(c, s, bl, None) for c, s, bl, *_ in shards], nlist
+        ),
     }
 
 

@@ -450,6 +450,13 @@ class MutableIVFIndex:
         if self.metric == "cosine":
             xd = dops.normalize(xd)
         assign = np.asarray(kmeans_assign(xd, self.centroids))
+        if self._next_id + m > 2**31 - 1:
+            # slot ids live in the int32 device tensor; silently wrapping
+            # would return corrupted ids that no longer match add()'s handles
+            raise OverflowError(
+                "MutableIVFIndex lifetime id space exhausted (2^31); "
+                "rebuild/compact the index to reset ids"
+            )
         ids = np.arange(self._next_id, self._next_id + m, dtype=np.int64)
         self._next_id += m
         # place each row host-side, then one batched device scatter
@@ -515,15 +522,18 @@ class MutableIVFIndex:
             qd = dops.normalize(qd)
             metric = "ip"
         npb = nprobe if nprobe is not None else self.nprobe
-        # probe whole LISTS: scale the bucket-probe count by the LOGICAL
-        # bucket count (physical rows include pre-allocated dead buckets,
-        # which the sentinel coarse distances already exclude). The count
-        # is quantised UP to a power of two so steady bucket growth does
-        # not mint a fresh static jit argument (= a full recompile, tens
-        # of seconds on the remote tunnel) per added bucket — extra
-        # probes only help recall.
+        # probe whole LISTS: the bucket-probe budget is the sum of the npb
+        # LARGEST lists' bucket counts (guaranteed top-npb-list coverage
+        # under skew, ops/ivf.probe_budget_cum — average scaling let one
+        # giant list consume every probe slot). Quantised UP to a power of
+        # two so steady bucket growth does not mint a fresh static jit
+        # argument (= a full recompile, tens of seconds on the remote
+        # tunnel) per added bucket — extra probes only help recall.
         physical = int(self._slot_ids.shape[0])
-        eff = min(max(1, npb * self._nb // self.nlist), physical)
+        lens = sorted(
+            (len(b) for b in self._list_buckets.values()), reverse=True
+        )
+        eff = min(max(1, sum(lens[:npb])), physical)
         q2 = 1
         while q2 < eff:
             q2 *= 2
