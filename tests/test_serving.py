@@ -314,3 +314,151 @@ def test_mutable_ivf_randomized_interleaving(rng):
                 ed = sorted(dist[row][np.searchsorted(keys, exp[row])])
                 np.testing.assert_allclose(gd, ed, rtol=1e-4, atol=1e-5)
         assert idx.n_active == len(oracle)
+
+
+# ---------------------------------------------------------------------------
+# round-3 hardening: slot reuse, bulk add, compaction, persistence, snapshot
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_slot_reuse_and_compaction(rng):
+    from vectordb_retrieval_tpu.serving import MutableIVFIndex
+
+    x = rng.standard_normal((2000, 16)).astype(np.float32)
+    idx = MutableIVFIndex(x, nlist=16, nprobe=16)
+    nb0 = idx._nb
+    ids = np.arange(2000)
+    # churn: delete half, re-add same count repeatedly -> bucket count must
+    # not grow (free slots reused), unlike the old append-only layout
+    for round_ in range(4):
+        dead = rng.choice(ids, 800, replace=False)
+        idx.delete(dead)
+        ids = np.setdiff1d(ids, dead)
+        new = idx.add(rng.standard_normal((800, 16)).astype(np.float32))
+        ids = np.concatenate([ids, new])
+    assert idx.n_active == 2000
+    assert idx._nb <= nb0 + 16  # slack for per-list rounding only
+    # forced compaction packs tight and preserves results
+    q = rng.standard_normal((8, 16)).astype(np.float32)
+    d0, i0 = idx.search(q, 5)
+    idx.compact()
+    d1, i1 = idx.search(q, 5)
+    np.testing.assert_allclose(np.sort(d0, 1), np.sort(d1, 1), rtol=1e-4)
+    assert idx._n_dead == 0
+
+
+def test_ivf_bulk_add_matches_oracle(rng):
+    from vectordb_retrieval_tpu.serving import MutableIVFIndex
+
+    x0 = rng.standard_normal((1000, 12)).astype(np.float32)
+    idx = MutableIVFIndex(x0, nlist=8, nprobe=8)
+    bulk = rng.standard_normal((5000, 12)).astype(np.float32)
+    new_ids = idx.add(bulk)
+    assert idx.n_active == 6000
+    full = np.concatenate([x0, bulk])
+    q = rng.standard_normal((16, 12)).astype(np.float32)
+    _, got = idx.search(q, 10)
+    exp = _oracle(q, full, 10)
+    # full-probe IVF == exact: compare hit sets by distance
+    gd = ((q[:, None, :] - full[np.where(got >= 0, got, 0)]) ** 2).sum(-1)
+    ed = ((q[:, None, :] - full[exp]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.sort(gd, 1), np.sort(ed, 1), rtol=1e-4)
+    # bulk ids are the promised monotone handles
+    np.testing.assert_array_equal(new_ids, np.arange(1000, 6000))
+
+
+def test_mutable_flat_persistence_roundtrip(tmp_path, rng):
+    idx = MutableFlatIndex(10)
+    x = rng.standard_normal((300, 10)).astype(np.float32)
+    ids = idx.add(x)
+    idx.delete(ids[:20])
+    idx.save(str(tmp_path / "mf"), {"dataset_fingerprint": "f"})
+    idx2 = MutableFlatIndex.load(str(tmp_path / "mf"), {"dataset_fingerprint": "f"})
+    q = rng.standard_normal((6, 10)).astype(np.float32)
+    d0, i0 = idx.search(q, 5)
+    d1, i1 = idx2.search(q, 5)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-6)
+    # state continues: adds after load get fresh ids
+    nid = idx2.add(rng.standard_normal((3, 10)).astype(np.float32))
+    assert nid.min() >= 300
+
+
+def test_mutable_ivf_persistence_roundtrip(tmp_path, rng):
+    from vectordb_retrieval_tpu.serving import MutableIVFIndex
+
+    x = rng.standard_normal((800, 12)).astype(np.float32)
+    idx = MutableIVFIndex(x, nlist=8, nprobe=8)
+    idx.delete(np.arange(50))
+    idx.add(rng.standard_normal((100, 12)).astype(np.float32))
+    idx.save(str(tmp_path / "mi"))
+    idx2 = MutableIVFIndex.load(str(tmp_path / "mi"))
+    q = rng.standard_normal((6, 12)).astype(np.float32)
+    d0, i0 = idx.search(q, 5)
+    d1, i1 = idx2.search(q, 5)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-6)
+
+
+def test_snapshot_handoff_to_annsearcher(rng):
+    from vectordb_retrieval_tpu.models.factory import ANNSearcher
+    from vectordb_retrieval_tpu.serving import MutableIVFIndex
+
+    x = rng.standard_normal((1200, 16)).astype(np.float32)
+    idx = MutableIVFIndex(x, nlist=8, nprobe=8)
+    idx.delete(np.arange(100))
+    added = idx.add(rng.standard_normal((50, 16)).astype(np.float32))
+    art = idx.to_artifact()
+    s = ANNSearcher(nprobe=8)
+    s.attach(art)
+    q = rng.standard_normal((8, 16)).astype(np.float32)
+    d_live, i_live = idx.search(q, 5)
+    d_art, i_art = s.batch_search(q, 5)
+    np.testing.assert_array_equal(i_live, i_art)  # stable ids preserved
+    assert int(i_art.max()) >= int(added.min())  # added rows reachable
+
+    # flat snapshot keeps stable ids via row_ids mapping
+    flat = MutableFlatIndex(16)
+    fid = flat.add(x[:500])
+    flat.delete(fid[:100])
+    fart = flat.to_artifact()
+    s2 = ANNSearcher()
+    s2.attach(fart)
+    d_l, i_l = flat.search(q, 5)
+    d_a, i_a = s2.batch_search(q, 5)
+    np.testing.assert_array_equal(i_l, i_a)
+
+
+def test_churn_fuzz_large_scale(rng):
+    """VERDICT #6 close-out: interleaved add/delete/compact/search vs
+    oracle at 100k scale."""
+    from vectordb_retrieval_tpu.serving import MutableIVFIndex
+
+    d = 16
+    x = rng.standard_normal((100_000, d)).astype(np.float32)
+    idx = MutableIVFIndex(x, nlist=64, nprobe=64)  # full probe = exact
+    live = {int(i): x[i] for i in range(100_000)}
+    for step in range(6):
+        op = step % 3
+        if op == 0:
+            dead = rng.choice(list(live.keys()), 5000, replace=False)
+            assert idx.delete(dead) == 5000
+            for i in dead:
+                live.pop(int(i))
+        elif op == 1:
+            batch = rng.standard_normal((4000, d)).astype(np.float32)
+            new_ids = idx.add(batch)
+            for j, i in enumerate(new_ids):
+                live[int(i)] = batch[j]
+        else:
+            idx.compact()
+        q = rng.standard_normal((4, d)).astype(np.float32)
+        dists, got = idx.search(q, 10)
+        keys = np.fromiter(live.keys(), dtype=np.int64)
+        vals = np.stack([live[int(i)] for i in keys])
+        exp_d = np.sort(((q[:, None, :] - vals[None]) ** 2).sum(-1), 1)[:, :10]
+        np.testing.assert_allclose(
+            np.sort(dists, 1), exp_d, rtol=1e-3, atol=1e-3
+        )
+        assert all(int(i) in live for row in got for i in row if i >= 0)
+    assert idx.n_active == len(live)

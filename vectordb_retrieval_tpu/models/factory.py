@@ -529,6 +529,11 @@ class ANNSearcher(BaseSearcher):
                 q, d["vectors"], eff_k, metric=metric,
                 db_sqnorms=d.get("sqnorms"),
             )
+            row_ids = d.get("row_ids")
+            if row_ids is not None:  # mutable snapshot: stable-id mapping
+                ids = jnp.where(
+                    ids >= 0, row_ids[jnp.where(ids >= 0, ids, 0)], -1
+                )
         elif kind == "pq":
             dists, ids = pqops.pq_search(
                 q, d["codes"], d["codebooks"], d["code_sqnorms"], eff_k,

@@ -252,6 +252,95 @@ class MutableFlatIndex:
         self._n_slots = n
         self._n_dead = 0
 
+    def to_artifact(self):
+        """Immutable ``flat`` snapshot servable by ``ANNSearcher``.
+
+        Compacts first; the artifact carries ``row_ids`` so searches
+        return the STABLE ids ``add`` handed out, not row positions."""
+        from vectordb_retrieval_tpu.models.base import IndexArtifact
+
+        self.compact()
+        n = self._n_slots
+        if self._next_id > 2**31 - 1:
+            raise OverflowError("stable ids exceed int32 device range")
+        vecs = self._vectors[:n]
+        data = {
+            "vectors": vecs,
+            "sqnorms": self._sqnorms[:n],
+            "row_ids": jnp.asarray(self._slot_ids[:n].astype(np.int32)),
+        }
+        meta = {
+            "metric": self.metric,
+            "dimension": self.dimension,
+            "n_vectors": int(n),
+            "normalize_queries": self.metric == "cosine",
+            "mutable_snapshot": True,
+        }
+        return IndexArtifact("flat", jax.block_until_ready(data), meta)
+
+    def save(self, path: str, context: Optional[dict] = None) -> None:
+        """Persist mutable state (models/persist protocol: atomic + manifest)."""
+        from vectordb_retrieval_tpu.models.base import IndexArtifact
+        from vectordb_retrieval_tpu.models import persist
+
+        n = self._n_slots
+        art = IndexArtifact(
+            "mutable_flat",
+            {
+                "vectors": self._vectors[:n],
+                "sqnorms": self._sqnorms[:n],
+                "pen": self._pen[:n],
+                # host numpy leaf on purpose: jnp would truncate int64
+                # stable ids (x64 disabled -> int32/float32)
+                "slot_ids": self._slot_ids[:n].copy(),
+            },
+            {
+                "metric": self.metric,
+                "dimension": self.dimension,
+                "next_id": int(self._next_id),
+                "compact_frac": self.compact_frac,
+            },
+        )
+        persist.save_artifact(art, path, context or {})
+
+    @classmethod
+    def load(cls, path: str, context: Optional[dict] = None):
+        """Restore a :meth:`save` snapshot (host bookkeeping rebuilt)."""
+        from vectordb_retrieval_tpu.models import persist
+
+        art = persist.load_artifact(path, context or {}, device_put=False)
+        if art.kind != "mutable_flat":
+            raise ValueError(f"expected mutable_flat artifact, got {art.kind!r}")
+        meta = art.metadata
+        slot_ids = np.asarray(art.data["slot_ids"]).astype(np.int64)
+        n = slot_ids.shape[0]
+        self = cls(
+            int(meta["dimension"]),
+            metric=meta["metric"],
+            capacity=max(n, 8),
+            compact_frac=float(meta.get("compact_frac", 0.25)),
+        )
+        if n:
+            self._vectors = jax.lax.dynamic_update_slice(
+                self._vectors, jnp.asarray(np.asarray(art.data["vectors"])),
+                (0, 0),
+            )
+            self._sqnorms = jax.lax.dynamic_update_slice(
+                self._sqnorms, jnp.asarray(np.asarray(art.data["sqnorms"])),
+                (0,),
+            )
+            self._pen = jax.lax.dynamic_update_slice(
+                self._pen, jnp.asarray(np.asarray(art.data["pen"])), (0,)
+            )
+        self._slot_ids[:n] = slot_ids
+        self._id_to_slot = {
+            int(s): j for j, s in enumerate(slot_ids) if s >= 0
+        }
+        self._next_id = int(meta["next_id"])
+        self._n_slots = n
+        self._n_dead = int((slot_ids < 0).sum())
+        return self
+
     # -- search ---------------------------------------------------------
     def search(
         self,
@@ -386,6 +475,11 @@ class MutableIVFIndex:
                 if rid >= 0:
                     self._id_loc[int(rid)] = (b, s_idx)
         self._next_id = n
+        # per-list free-slot stacks: deleted slots are reused by the next
+        # add() to the same list before any bucket append
+        self._list_free = {l: [] for l in range(self.nlist)}
+        self._n_dead = 0
+        self.compact_frac = 0.25
 
     # -- internals ------------------------------------------------------
     @property
@@ -459,19 +553,39 @@ class MutableIVFIndex:
             )
         ids = np.arange(self._next_id, self._next_id + m, dtype=np.int64)
         self._next_id += m
-        # place each row host-side, then one batched device scatter
+        # vectorised placement: group rows by assigned list, then allocate
+        # each list's positions in bulk — free slots (deleted-slot reuse)
+        # first, then the tail bucket's remaining slots, then fresh
+        # buckets. O(distinct lists) Python instead of O(rows) (the
+        # per-row loop was a wall for bulk loads).
         rows_b, rows_s = np.empty(m, np.int32), np.empty(m, np.int32)
+        order = np.argsort(assign, kind="stable")
+        lists, starts = np.unique(assign[order], return_index=True)
+        bounds = np.append(starts, m)
+        for li, lst in enumerate(lists):
+            lst = int(lst)
+            idxs = order[bounds[li] : bounds[li + 1]]
+            r = idxs.size
+            free = self._list_free[lst]
+            take = min(len(free), r)
+            pos = 0
+            for j in range(take):  # reuse tombstoned slots first
+                bb, ss = free.pop()
+                rows_b[idxs[pos]], rows_s[idxs[pos]] = bb, ss
+                pos += 1
+            while pos < r:
+                bucket = self._list_buckets[lst][-1]
+                if self._fill[bucket] >= self._L:
+                    bucket = self._new_bucket(lst)
+                space = int(self._L - self._fill[bucket])
+                nfill = min(space, r - pos)
+                sel = idxs[pos : pos + nfill]
+                rows_b[sel] = bucket
+                rows_s[sel] = self._fill[bucket] + np.arange(nfill)
+                self._fill[bucket] += nfill
+                pos += nfill
         for i in range(m):
-            lst = int(assign[i])
-            # slots are append-only, so only the list's LAST bucket can
-            # have free space — O(1) placement instead of rescanning every
-            # full bucket of a hot list per insert
-            bucket = self._list_buckets[lst][-1]
-            if self._fill[bucket] >= self._L:
-                bucket = self._new_bucket(lst)
-            rows_b[i], rows_s[i] = bucket, self._fill[bucket]
-            self._fill[bucket] += 1
-            self._id_loc[int(ids[i])] = (int(bucket), int(rows_s[i]))
+            self._id_loc[int(ids[i])] = (int(rows_b[i]), int(rows_s[i]))
         if self._coarse_dirty:
             self._refresh_coarse()
             self._coarse_dirty = False
@@ -486,7 +600,7 @@ class MutableIVFIndex:
         return ids
 
     def delete(self, ids) -> int:
-        """Tombstone rows; O(1) per id, no search-time cost."""
+        """Tombstone rows; slots go to their list's free stack for reuse."""
         locs = [
             self._id_loc.pop(int(i))
             for i in np.atleast_1d(np.asarray(ids, dtype=np.int64))
@@ -499,9 +613,171 @@ class MutableIVFIndex:
         self._slot_ids = self._slot_ids.at[bb, ss].set(-1)
         self._list_vecs = self._list_vecs.at[bb, ss].set(0.0)
         self._list_sqn = self._list_sqn.at[bb, ss].set(0.0)
-        # NOTE: slots are not reused (ids in a bucket stay append-only);
-        # heavy-churn deployments should rebuild periodically
+        for b, s in locs:
+            self._list_free[int(self._bucket_lists[b])].append((b, s))
+        self._n_dead += len(locs)
+        # probe work scales with bucket count, and churn strands buckets
+        # that free-slot reuse alone cannot reclaim — compact when dead
+        # slots dominate
+        if self._n_dead > max(64, self.compact_frac * max(self.n_active, 1)):
+            self.compact()
         return len(locs)
+
+    def compact(self) -> None:
+        """Rebuild the bucket layout tightly over the live rows.
+
+        Rows keep their frozen list assignment and their stable ids;
+        per-list buckets are repacked densely (freeing the tail buckets
+        churn stranded), and physical arrays shrink back to the logical
+        bucket count. O(live rows) host gather + one device upload.
+        """
+        slot_np = np.asarray(self._slot_ids)[: self._nb]
+        vecs_np = np.asarray(self._list_vecs)[: self._nb]
+        live = slot_np >= 0
+        # per-list live member ids + vectors, in bucket order
+        new_slots, new_vecs, new_lists = [], [], []
+        for l in range(self.nlist):
+            buckets = self._list_buckets[l]
+            rows = [
+                (slot_np[b, s], vecs_np[b, s])
+                for b in buckets
+                for s in np.nonzero(live[b])[0]
+            ]
+            n_b = max(1, -(-len(rows) // self._L))
+            sl = np.full((n_b, self._L), -1, np.int64)
+            vx = np.zeros((n_b, self._L, self.dimension), np.float32)
+            for j, (sid, v) in enumerate(rows):
+                sl[j // self._L, j % self._L] = sid
+                vx[j // self._L, j % self._L] = v
+            new_slots.append(sl)
+            new_vecs.append(vx)
+            new_lists.extend([l] * n_b)
+        slot_all = np.concatenate(new_slots)
+        vec_all = np.concatenate(new_vecs)
+        nb = slot_all.shape[0]
+        self._nb = nb
+        self._slot_ids = jnp.asarray(slot_all.astype(np.int32))
+        self._list_vecs = jnp.asarray(vec_all)
+        self._list_sqn = jnp.asarray((vec_all**2).sum(-1).astype(np.float32))
+        self._bucket_lists = np.asarray(new_lists, dtype=np.int32)
+        self._refresh_coarse()
+        self._fill = (slot_all >= 0).sum(axis=1).astype(np.int64)
+        self._list_buckets = {
+            l: list(np.nonzero(self._bucket_lists == l)[0])
+            for l in range(self.nlist)
+        }
+        self._id_loc = {}
+        for b in range(nb):
+            for s_idx, rid in enumerate(slot_all[b]):
+                if rid >= 0:
+                    self._id_loc[int(rid)] = (b, s_idx)
+        self._list_free = {l: [] for l in range(self.nlist)}
+        self._n_dead = 0
+
+    def to_artifact(self):
+        """Immutable ``ivf_flat`` snapshot servable by ``ANNSearcher``.
+
+        The handoff pattern: mutate online, periodically snapshot to the
+        immutable serving artifact (bf16-list probe scan, persistence via
+        models/persist). Compacts first so the artifact carries no
+        tombstones; slot ids in the artifact are the STABLE ids.
+        """
+        from vectordb_retrieval_tpu.models.base import IndexArtifact
+        from vectordb_retrieval_tpu.ops import ivf as ivfops
+
+        self.compact()
+        coarse = self.centroids[jnp.asarray(self._bucket_lists)]
+        meta = {
+            "metric": self.metric,
+            "dimension": self.dimension,
+            "n_vectors": int(self.n_active),
+            "normalize_queries": self.metric == "cosine",
+            "index_key": f"IVF{self.nlist},Flat",
+            "nprobe": self.nprobe,
+            "nlist": int(self.nlist),
+            "n_buckets": int(self._nb),
+            "max_list_len": int(self._L),
+            "probe_cum": [
+                int(v)
+                for v in ivfops.probe_budget_cum(
+                    self._bucket_lists, self.nlist
+                )
+            ],
+            "mutable_snapshot": True,
+        }
+        data = {
+            "centroids": coarse,
+            "bucket_lists": jnp.asarray(self._bucket_lists),
+            "slot_ids": self._slot_ids,
+            "list_vecs": self._list_vecs,
+            "list_sqnorms": self._list_sqn,
+        }
+        return IndexArtifact("ivf_flat", jax.block_until_ready(data), meta)
+
+    def save(self, path: str, context: Optional[dict] = None) -> None:
+        """Persist mutable state (models/persist protocol: atomic + manifest)."""
+        from vectordb_retrieval_tpu.models.base import IndexArtifact
+        from vectordb_retrieval_tpu.models import persist
+
+        art = IndexArtifact(
+            "mutable_ivf",
+            {
+                "centroids": self.centroids,
+                "slot_ids": self._slot_ids[: self._nb],
+                "list_vecs": self._list_vecs[: self._nb],
+                "list_sqnorms": self._list_sqn[: self._nb],
+                "bucket_lists": jnp.asarray(self._bucket_lists[: self._nb]),
+            },
+            {
+                "metric": self.metric,
+                "dimension": self.dimension,
+                "nlist": int(self.nlist),
+                "nprobe": int(self.nprobe),
+                "bucket_len": int(self._L),
+                "next_id": int(self._next_id),
+            },
+        )
+        persist.save_artifact(art, path, context or {})
+
+    @classmethod
+    def load(cls, path: str, context: Optional[dict] = None):
+        """Restore a :meth:`save` snapshot (host bookkeeping rebuilt)."""
+        from vectordb_retrieval_tpu.models import persist
+
+        art = persist.load_artifact(path, context or {})
+        if art.kind != "mutable_ivf":
+            raise ValueError(f"expected mutable_ivf artifact, got {art.kind!r}")
+        meta = art.metadata
+        self = cls.__new__(cls)
+        self.dimension = int(meta["dimension"])
+        self.metric = meta["metric"]
+        self.nprobe = int(meta["nprobe"])
+        self.nlist = int(meta["nlist"])
+        self._L = int(meta["bucket_len"])
+        self.centroids = art.data["centroids"]
+        slot_np = np.asarray(art.data["slot_ids"])
+        self._nb = slot_np.shape[0]
+        self._slot_ids = art.data["slot_ids"]
+        self._list_vecs = art.data["list_vecs"]
+        self._list_sqn = art.data["list_sqnorms"]
+        self._bucket_lists = np.asarray(art.data["bucket_lists"])
+        self._coarse_dirty = False
+        self._refresh_coarse()
+        self._fill = (slot_np >= 0).sum(axis=1).astype(np.int64)
+        self._list_buckets = {
+            l: list(np.nonzero(self._bucket_lists == l)[0])
+            for l in range(self.nlist)
+        }
+        self._id_loc = {}
+        for b in range(self._nb):
+            for s_idx, rid in enumerate(slot_np[b]):
+                if rid >= 0:
+                    self._id_loc[int(rid)] = (b, s_idx)
+        self._next_id = int(meta["next_id"])
+        self._list_free = {l: [] for l in range(self.nlist)}
+        self._n_dead = 0
+        self.compact_frac = 0.25
+        return self
 
     def search(
         self, queries: np.ndarray, k: int, nprobe: Optional[int] = None
