@@ -189,7 +189,8 @@ class Dataset:
     """
 
     CATALOG = (
-        "random", "glove50", "glove50_surrogate", "sift1m", "msmarco"
+        "random", "glove50", "glove50_surrogate", "sift1m", "msmarco",
+        "msmarco_surrogate",
     )
 
     def __init__(
@@ -505,6 +506,87 @@ class Dataset:
         self.test_vectors = np.ascontiguousarray(pts[perm[n_train:]])
         self.metadata["surrogate"] = True
         self.metadata["surrogate_for"] = "glove50"
+        self.ground_truth = compute_ground_truth(
+            self.train_vectors, self.test_vectors, self._gt_k(), self.metric
+        )
+
+    def _load_msmarco_surrogate(self) -> None:
+        """Difficulty-calibrated MiniLM-384d stand-in (NOT real data).
+
+        Real MS MARCO MiniLM embeddings need an egress-enabled host
+        (data/download_attempts.log; reference embed_msmarco.py:149-172).
+        This generator synthesises unit vectors with the structural
+        statistics that set quantisation difficulty for sentence-encoder
+        embeddings:
+
+          * power-law anisotropic spectrum (variance ~ (i+1)^-alpha) in a
+            random rotated basis — transformer embeddings concentrate
+            variance in a few hundred directions (Ethayarajh 2019);
+          * Zipf-occupied hierarchical topic clusters (parents + children)
+            — passages cluster by topic with frequency skew;
+          * queries drawn NEAR passage clusters with extra spread (real
+            queries are short texts embedded into the same space).
+
+        Knobs are calibrated (scripts/calibrate_msmarco_surrogate.py) so
+        the framework's algorithms, configured EXACTLY like the
+        reference's msmarco rows (IVF100,Flat np10 / IVF256,PQ64 np48 /
+        IVF256,SQ8 np48 / PQ64 / hnsw M16 ef100), land near the
+        reference's real-MiniLM recalls
+        (benchmark_20260305_070532/benchmark_summary.md:43-50).
+        Results on this dataset are labelled surrogate in benchmark
+        metadata — difficulty-matched, not real-MiniLM numbers.
+        """
+        d = int(self.options.get("dim", 384))
+        n_train = int(self.options.get("train_limit", 100_000))
+        n_test = int(self.options.get("test_size", 200))
+        seed = int(self.options.get("seed", 13))
+        alpha = float(self.options.get("anisotropy", 0.6))
+        n_parents = int(self.options.get("n_parents", 384))
+        children_per = int(self.options.get("children_per_parent", 8))
+        child_scale = float(self.options.get("child_scale", 0.9))
+        point_scale = float(self.options.get("point_scale", 0.55))
+        query_scale = float(self.options.get("query_scale", 0.8))
+
+        rng = np.random.default_rng(seed)
+        spectrum = (np.arange(1, d + 1, dtype=np.float32)) ** (-alpha)
+        spectrum /= np.sqrt(np.mean(spectrum**2))
+        # random rotation so the spectrum is not axis-aligned (PQ subspaces
+        # must not trivially align with the principal axes)
+        basis, _ = np.linalg.qr(rng.standard_normal((d, d)))
+        basis = (basis * spectrum[None, :]).astype(np.float32)  # scaled
+
+        parents = rng.standard_normal((n_parents, d)).astype(np.float32)
+        children = (
+            parents[:, None, :]
+            + child_scale
+            * rng.standard_normal((n_parents, children_per, d)).astype(
+                np.float32
+            )
+        ).reshape(n_parents * children_per, d)
+        ranks = np.arange(1, children.shape[0] + 1, dtype=np.float64)
+        probs = ranks**-0.8
+        probs /= probs.sum()
+        assign = rng.choice(children.shape[0], size=n_train, p=probs)
+        pts = children[assign] + point_scale * rng.standard_normal(
+            (n_train, d)
+        ).astype(np.float32)
+        # queries: near passage clusters, wider spread
+        q_assign = rng.choice(children.shape[0], size=n_test, p=probs)
+        qs = children[q_assign] + query_scale * rng.standard_normal(
+            (n_test, d)
+        ).astype(np.float32)
+
+        def shape(v: np.ndarray) -> np.ndarray:
+            v = v @ basis.T  # impose the anisotropic spectrum
+            return v / np.maximum(
+                np.linalg.norm(v, axis=1, keepdims=True), 1e-12
+            )
+
+        self.train_vectors = np.ascontiguousarray(shape(pts))
+        self.test_vectors = np.ascontiguousarray(shape(qs))
+        self.metric = self.options.get("metric", "cosine")
+        self.metadata["surrogate"] = True
+        self.metadata["surrogate_for"] = "msmarco (MiniLM-L6-v2 384d)"
         self.ground_truth = compute_ground_truth(
             self.train_vectors, self.test_vectors, self._gt_k(), self.metric
         )

@@ -307,12 +307,12 @@ def build_block_graph(
     sample = training_sample(n, n_blocks, seed)
     train = vectors if sample is None else vectors[sample]
     centroids, _ = kmeans_fit(train, n_blocks, seed=seed, iters=train_iters)
-    # chunked assign keeps the [chunk, n_blocks] distance transient bounded
-    assigns = []
-    step = max(1, (64 << 20) // max(n_blocks * 4, 1))
-    for s in range(0, n, step):
-        assigns.append(np.asarray(kmeans_assign(vectors[s : s + step], centroids)))
-    assign = np.concatenate(assigns)
+    # whole-corpus assign in ONE dispatch (kmeans_assign chunk-scans
+    # internally — a host loop of per-chunk calls would pay the ~30-60 ms
+    # remote-dispatch floor per chunk, ~30 min at 1M); the chunk bounds
+    # the [chunk, n_blocks] distance transient at ~512 MB
+    chunk = max(256, min(16_384, (512 << 20) // max(n_blocks * 4, 1)))
+    assign = np.asarray(kmeans_assign(vectors, centroids, chunk=chunk))
     # ZERO-padding layout: cluster-sort the corpus and chop into EXACT
     # fixed-size blocks (only the final block carries pad slots). The IVF
     # bucketed layout pads every list's last bucket — measured 1.55x
