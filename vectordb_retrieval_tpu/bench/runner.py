@@ -192,7 +192,19 @@ class BenchmarkRunner:
         ds_out = os.path.join(self.output_dir, ds["name"])
         runner = ExperimentRunner(config, output_dir=ds_out)
         runner.load_dataset()
-        return runner.run()
+        results = runner.run()
+        # surface dataset provenance so reports can label surrogate rows
+        # (they are difficulty-matched stand-ins, not real-data numbers)
+        if runner.dataset is not None and runner.dataset.metadata.get(
+            "surrogate"
+        ):
+            results["_dataset"] = {
+                "surrogate": True,
+                "surrogate_for": runner.dataset.metadata.get(
+                    "surrogate_for", ""
+                ),
+            }
+        return results
 
     # -- reports (reference runner.py:402-728) ----------------------------
     def _fmt(self, val: Any, spec: str = ".4f") -> str:
@@ -206,7 +218,17 @@ class BenchmarkRunner:
         lines.append(f"Generated: {datetime.now().isoformat()}")
         lines.append("")
         for ds_name, results in self.all_results.items():
-            lines.append(f"## Dataset: {ds_name}")
+            ds_meta = results.get("_dataset", {}) if isinstance(
+                results, dict
+            ) else {}
+            label = ""
+            if ds_meta.get("surrogate"):
+                label = (
+                    " (SURROGATE — difficulty-calibrated stand-in for "
+                    f"{ds_meta.get('surrogate_for') or 'real data'}, "
+                    "not real-data numbers)"
+                )
+            lines.append(f"## Dataset: {ds_name}{label}")
             lines.append("")
             if "error" in results:
                 lines.append(f"**ERROR**: {results['error']}")
@@ -218,7 +240,7 @@ class BenchmarkRunner:
             )
             lines.append("|---|---|---|---|---|---|---|")
             for alg, m in results.items():
-                if not isinstance(m, dict):
+                if not isinstance(m, dict) or alg.startswith("_"):
                     continue
                 status = m.get("status", "ok" if "error" not in m else "error")
                 lines.append(
@@ -305,6 +327,8 @@ class BenchmarkRunner:
                 continue
             points = []
             for alg, m in results.items():
+                if alg.startswith("_"):
+                    continue
                 if isinstance(m, dict) and m.get("recall") is not None:
                     points.append(
                         {
