@@ -214,3 +214,37 @@ def test_small_corpus_many_shards_regressions(rng):
     gi = np.asarray(gi)
     assert gi.shape[1] > 7
     assert ((gi >= -1) & (gi < 49)).all()
+
+
+def test_sharded_block_graph_recall(rng):
+    """Sharded BLOCK graph: clustered data, global ids, merged recall."""
+    import jax.numpy as jnp
+
+    from vectordb_retrieval_tpu.models.sharded import ShardedGraphIndexer
+    from vectordb_retrieval_tpu.models.factory import ANNSearcher
+    from vectordb_retrieval_tpu.ops import distances as dops
+
+    centers = rng.standard_normal((120, 24)).astype(np.float32) * 4
+    assign = rng.integers(0, 120, 24_000)
+    x = (centers[assign]
+         + rng.standard_normal((24_000, 24)).astype(np.float32) * 0.3)
+    q = x[rng.choice(24_000, 32, replace=False)] + (
+        rng.standard_normal((32, 24)).astype(np.float32) * 0.05
+    )
+    gt = np.asarray(dops.exact_search(jnp.asarray(q), jnp.asarray(x), 10)[1])
+
+    idx = ShardedGraphIndexer(M=8, efSearch=128, mode="block", block_size=64)
+    art = idx.build(x, 24)
+    assert art.metadata["mode"] == "block"
+    s = ANNSearcher(efSearch=128)
+    s.attach(art)
+    _, ids = s.batch_search(q, 10)
+    hits = np.mean([
+        len(set(gt[r].tolist()) & set(ids[r].tolist())) / 10
+        for r in range(32)
+    ])
+    assert hits > 0.9, hits
+    for r in range(32):  # global ids, no duplicates
+        got = [i for i in ids[r].tolist() if i >= 0]
+        assert len(got) == len(set(got))
+        assert max(got) < 24_000

@@ -575,10 +575,24 @@ class ANNSearcher(BaseSearcher):
                 ef = int(
                     self.params.get("efSearch", meta.get("efSearch", 100))
                 )
-                dists, ids = par.sharded_graph_search(
-                    q, d, meta["n_vectors"], eff_k, mesh,
-                    ef=max(int(ef * 1.25), eff_k + 8, 16), metric=metric,
-                )
+                if meta.get("mode") == "block":
+                    from vectordb_retrieval_tpu.models.graph import (
+                        block_geometry,
+                    )
+
+                    efb, expand, iters = block_geometry(
+                        int(meta["n_blocks"]), ef, eff_k
+                    )
+                    dists, ids = par.sharded_block_graph_search(
+                        q, d, eff_k, mesh,
+                        efb=efb, expand=expand, iters=iters, metric=metric,
+                    )
+                else:
+                    dists, ids = par.sharded_graph_search(
+                        q, d, meta["n_vectors"], eff_k, mesh,
+                        ef=max(int(ef * 1.25), eff_k + 8, 16),
+                        metric=metric,
+                    )
             else:  # ivf_pq_sharded / ivf_sq8_sharded
                 dists, ids = par.sharded_ivf_coded_search(
                     q, d, eff_k, self._nprobe(), mesh,

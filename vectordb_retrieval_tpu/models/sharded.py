@@ -136,6 +136,8 @@ class ShardedGraphIndexer(BaseIndexer):
         efSearch: int = 100,
         n_devices: int = 0,
         seed: int = 42,
+        mode: str = "auto",  # auto | node | block (models/graph semantics)
+        block_size: int = 128,
         **params: Any,
     ):
         super().__init__(metric=metric, **params)
@@ -144,9 +146,15 @@ class ShardedGraphIndexer(BaseIndexer):
         self.efSearch = int(efSearch)
         self.n_devices = int(n_devices)
         self.seed = int(seed)
+        if mode not in ("auto", "node", "block"):
+            raise ValueError("mode must be 'auto', 'node' or 'block'")
+        self.mode = mode
+        self.block_size = int(block_size)
 
     def build(self, vectors: np.ndarray, dimension: int) -> IndexArtifact:
+        from vectordb_retrieval_tpu.models.graph import _BLOCK_AUTO_THRESHOLD
         from vectordb_retrieval_tpu.parallel import (
+            build_sharded_block_graph,
             build_sharded_graph,
             make_mesh,
         )
@@ -157,9 +165,19 @@ class ShardedGraphIndexer(BaseIndexer):
             else np.ascontiguousarray(vectors, dtype=np.float32)
         )
         mesh = make_mesh(self.n_devices or None)
-        data, build_meta = build_sharded_graph(
-            x, mesh, M=self.M, seed=self.seed
+        per = -(-x.shape[0] // mesh.shape["db"])
+        use_block = self.mode == "block" or (
+            self.mode == "auto" and per > _BLOCK_AUTO_THRESHOLD
         )
+        if use_block:
+            data, build_meta = build_sharded_block_graph(
+                x, mesh, M=self.M, block_size=self.block_size,
+                seed=self.seed,
+            )
+        else:
+            data, build_meta = build_sharded_graph(
+                x, mesh, M=self.M, seed=self.seed
+            )
         art = IndexArtifact(
             kind="graph_sharded",
             data=jax.block_until_ready(data),

@@ -6,7 +6,9 @@ from vectordb_retrieval_tpu.parallel.sharded import (  # noqa: F401
     sharded_exact_search,
 )
 from vectordb_retrieval_tpu.parallel.sharded_graph import (  # noqa: F401
+    build_sharded_block_graph,
     build_sharded_graph,
+    sharded_block_graph_search,
     sharded_graph_search,
 )
 from vectordb_retrieval_tpu.parallel.sharded_ivf import (  # noqa: F401

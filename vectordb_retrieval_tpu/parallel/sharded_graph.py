@@ -94,6 +94,144 @@ def build_sharded_graph(
     }
 
 
+def build_sharded_block_graph(
+    x: np.ndarray,
+    mesh: Mesh,
+    M: int = 16,
+    block_size: int = 128,
+    seed: int = 42,
+    axis: str = "db",
+):
+    """Per-shard BLOCK-graph build (memory-parity large-N variant).
+
+    The node-mode per-shard graphs above keep small shards fast; above
+    ~50k rows/shard the single-chip family switches to the cluster-routed
+    block layout (ops/graph.build_block_graph — 1.04x corpus, slab
+    gathers), and this is its sharded form: one independent block graph
+    per row shard, global ids, the same all_gather merge.
+    """
+    n_shards = mesh.shape[axis]
+    n, d = x.shape
+    per = -(-n // n_shards)
+    stacks = None
+    for s in range(n_shards):
+        lo, hi = s * per, min((s + 1) * per, n)
+        rows = max(hi - lo, 0)
+        if rows == 0:
+            ent = np.full((1, d), 1e9, np.float32)
+            parts = (
+                ent, np.zeros(1, np.int32),
+                np.full((1, block_size), -1, np.int32),
+                np.zeros((1, block_size, d), np.float32),
+                np.zeros((1, block_size), np.float32),
+                np.zeros((1, 1), np.int32),
+            )
+        else:
+            xs = jnp.asarray(x[lo:hi])
+            n_blocks = max(1, -(-rows // block_size))
+            degree = max(4, min(2 * M, n_blocks - 1)) if n_blocks > 1 else 1
+            entries, entry_block, slot_ids, list_vecs, list_sqn, adj = (
+                gops.build_block_graph(xs, n_blocks, degree, seed=seed + s)
+            )
+            slot_g = np.asarray(slot_ids)
+            slot_g = np.where(slot_g >= 0, slot_g + lo, -1).astype(np.int32)
+            parts = (
+                np.asarray(entries), np.asarray(entry_block), slot_g,
+                np.asarray(list_vecs), np.asarray(list_sqn),
+                np.asarray(adj),
+            )
+        if stacks is None:
+            stacks = [[] for _ in parts]
+        for j, p in enumerate(parts):
+            stacks[j].append(p)
+
+    def stack(parts, fill):
+        """Pad each shard's array to the max shape, then stack."""
+        shapes = np.stack([np.asarray(p.shape) for p in parts])
+        tgt = shapes.max(axis=0)
+        out = np.full((len(parts), *tgt), fill, dtype=parts[0].dtype)
+        for s, p in enumerate(parts):
+            out[(s,) + tuple(slice(0, e) for e in p.shape)] = p
+        return out
+
+    fills = (1e9, 0, -1, 0.0, 0.0, -1)
+    ent, eblk, slots, vecs, sqn, adj = (
+        stack(ps, f) for ps, f in zip(stacks, fills)
+    )
+    # padded entry rows carry 1e9 sentinels (never seeded); padded
+    # adjacency -1 (masked); padded entry_block 0 is safe because its
+    # entry is never reached
+    sh = lambda a: jax.device_put(
+        jnp.asarray(a), NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1))))
+    )
+    return {
+        "entries": sh(ent),
+        "entry_block": sh(eblk),
+        "slot_ids": sh(slots),
+        "list_vecs": sh(vecs),
+        "list_sqnorms": sh(sqn),
+        "entry_adj": sh(adj),
+    }, {
+        "n_shards": n_shards,
+        "rows_per_shard": per,
+        "mode": "block",
+        "n_blocks": int(slots.shape[1]),
+        "block_len": int(slots.shape[2]),
+        "degree": int(adj.shape[2]),
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "efb", "expand", "iters", "metric", "mesh",
+                     "axis", "q_axis"),
+)
+def sharded_block_graph_search(
+    queries: jax.Array,
+    data: dict,
+    k: int,
+    mesh: Mesh,
+    efb: int = 32,
+    expand: int = 8,
+    iters: int = 8,
+    metric: str = "l2",
+    axis: str = "db",
+    q_axis: str = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fan-out block-beam per shard + all_gather candidate merge.
+
+    Slot ids are already global (build_sharded_block_graph), so no offset
+    shift is needed; sentinel entries (1e9) never seed a beam."""
+    n_shards = mesh.shape[axis]
+    eff_k = min(k, data["slot_ids"].shape[1] * data["slot_ids"].shape[2])
+    out_k = min(k, n_shards * eff_k)
+
+    def local(q, ent, eblk, slots, vecs, sqn, adj):
+        d, i = gops.block_graph_search(
+            q, ent[0], eblk[0], slots[0], vecs[0], sqn[0], adj[0],
+            eff_k, efb=efb, expand=expand, iters=iters, metric=metric,
+        )
+        d = jnp.where(i >= 0, d, jnp.inf)
+        return gather_merge(d, i, axis, eff_k, out_k=out_k)
+
+    from vectordb_retrieval_tpu.parallel.sharded_ivf import _query_specs
+
+    q_spec, out_specs = _query_specs(q_axis)
+    operands = (
+        data["entries"], data["entry_block"], data["slot_ids"],
+        data["list_vecs"], data["list_sqnorms"], data["entry_adj"],
+    )
+    specs = tuple(P(axis, *([None] * (op.ndim - 1))) for op in operands)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(q_spec,) + specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return fn(queries, *operands)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
