@@ -278,3 +278,78 @@ def test_streamed_tail_smaller_than_overfetch(tmp_path):
     full = ((q[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
     exp = np.sort(full, axis=1)[:, :10]
     np.testing.assert_allclose(np.sort(d, 1), exp, rtol=1e-4, atol=1e-4)
+
+
+def _clustered_store(tmp_path, rng, n=20_000, d=16, n_clusters=120):
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 4
+    assign = rng.integers(0, n_clusters, n)
+    ref = (centers[assign]
+           + rng.standard_normal((n, d)).astype(np.float32) * 0.3)
+    path = str(tmp_path / "graph_corpus.bin")
+    with BigStore.create(path, d) as w:
+        w.append(ref)
+    return BigStore.open(path), ref
+
+
+class TestGraphStreamBuild:
+    """Out-of-core block-graph build (round-2 VERDICT missing #4)."""
+
+    def test_model_level_stream_build(self, tmp_path):
+        from vectordb_retrieval_tpu.bench.metrics import recall_at_k
+        from vectordb_retrieval_tpu.models.composite import CompositeAlgorithm
+
+        rng = np.random.default_rng(11)
+        store, ref = _clustered_store(tmp_path, rng)
+        qi = rng.choice(ref.shape[0], 32, replace=False)
+        q = ref[qi] + rng.standard_normal((32, 16)).astype(np.float32) * 0.05
+        full = ((q[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
+        gt = np.argsort(full, axis=1)[:, :10]
+
+        algo = CompositeAlgorithm(
+            dimension=16,
+            indexer={"type": "GraphIndexer", "M": 16, "mode": "block"},
+            searcher={"type": "ANNSearcher", "efSearch": 128},
+            metric="l2",
+        )
+        algo.build_index(store)
+        meta = algo.artifact.metadata
+        assert meta.get("built_streaming") is True
+        assert meta["mode"] == "block"
+        assert meta["selfcheck_recall"] > 0.8
+        # memory parity holds for the streamed layout too
+        assert algo.artifact.device_nbytes() <= 1.25 * ref.nbytes
+        _, ids = algo.batch_search(q, 10)
+        assert recall_at_k(gt, ids, 10) > 0.9
+
+    def test_multichunk_matches_resident_class(self, tmp_path):
+        """Chunked streaming (4 chunks) reaches the resident build's
+        recall class on the same corpus."""
+        import jax.numpy as jnp
+
+        from vectordb_retrieval_tpu.bench.metrics import recall_at_k
+        from vectordb_retrieval_tpu.ops import graph as gops
+
+        rng = np.random.default_rng(12)
+        store, ref = _clustered_store(tmp_path, rng, n=12_000)
+        n_blocks, degree = 96, 16
+        parts_s = gops.build_block_graph_stream(
+            store, n_blocks, degree, seed=7, chunk_rows=3_000
+        )
+        parts_r = gops.build_block_graph(
+            jnp.asarray(ref), n_blocks, degree, seed=7
+        )
+        qi = rng.choice(ref.shape[0], 32, replace=False)
+        q = ref[qi] + rng.standard_normal((32, 16)).astype(np.float32) * 0.05
+        full = ((q[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
+        gt = np.argsort(full, axis=1)[:, :10]
+        recs = []
+        for parts in (parts_s, parts_r):
+            # pad-slot invariant: -1 slots only in the final block
+            sn = np.asarray(parts[2])
+            assert (sn[:-1] >= 0).all()
+            _, ids = gops.block_graph_search(
+                jnp.asarray(q), *parts, 10, efb=128
+            )
+            recs.append(recall_at_k(gt, np.asarray(ids), 10))
+        assert recs[0] > 0.9
+        assert recs[0] >= recs[1] - 0.05

@@ -72,15 +72,41 @@ class GraphIndexer(BaseIndexer):
         self.mode = mode
         self.block_size = int(block_size)
 
-    def _build_block(self, x: jax.Array, dimension: int) -> IndexArtifact:
-        """Memory-parity large-N layout (ops/graph.build_block_graph)."""
-        n = x.shape[0]
+    def _block_geom(self, n: int):
         block = self.block_size or 128
         n_blocks = max(1, -(-n // block))
         degree = max(4, min(2 * self.M, n_blocks - 1))
+        return n_blocks, degree
+
+    def _build_block(self, x: jax.Array, dimension: int) -> IndexArtifact:
+        """Memory-parity large-N layout (ops/graph.build_block_graph)."""
+        n = x.shape[0]
+        n_blocks, degree = self._block_geom(n)
         (
             entries, entry_block, slot_ids, list_vecs, list_sqn, adj,
         ) = gops.build_block_graph(x, n_blocks, degree, seed=self.seed)
+        return self._package_block(
+            (entries, entry_block, slot_ids, list_vecs, list_sqn, adj),
+            dimension, n,
+        )
+
+    def _build_block_stream(self, store, dimension: int) -> IndexArtifact:
+        """Out-of-core block build: memmap/BigStore corpus streamed in two
+        sequential passes (ops/graph.build_block_graph_stream); host RSS
+        O(chunk), device peak O(corpus) (the resident build transiently
+        needs 2x corpus HBM for the slab gather)."""
+        n = int(store.shape[0])
+        n_blocks, degree = self._block_geom(n)
+        parts = gops.build_block_graph_stream(
+            store, n_blocks, degree, seed=self.seed,
+            normalize=self.metric == "cosine",
+        )
+        art = self._package_block(parts, dimension, n)
+        art.metadata["built_streaming"] = True
+        return art
+
+    def _package_block(self, parts, dimension: int, n: int) -> IndexArtifact:
+        entries, entry_block, slot_ids, list_vecs, list_sqn, adj = parts
         data = {
             "entries": entries,
             "entry_block": entry_block,
@@ -131,9 +157,48 @@ class GraphIndexer(BaseIndexer):
         )
         return hits / gt.size
 
-    def build(self, vectors: np.ndarray, dimension: int) -> IndexArtifact:
-        from vectordb_retrieval_tpu.data.storage import corpus_to_device
+    def _selfcheck_stream(self, artifact: IndexArtifact, store) -> float:
+        """Out-of-core variant of _block_selfcheck: sample rows + streamed
+        exact GT (O(chunk) memory, data/storage.streamed_exact_search)."""
+        from vectordb_retrieval_tpu.data.storage import (
+            _read_chunk, streamed_exact_search,
+        )
 
+        n = int(store.shape[0])
+        idx = np.linspace(0, n - 1, num=min(256, n), dtype=np.int64)
+        sample = np.stack([_read_chunk(store, int(i), int(i) + 1)[0]
+                           for i in idx]).astype(np.float32)
+        metric = "ip" if self.metric in ("ip", "cosine") else "l2"
+        norm = self.metric == "cosine"
+        if norm:
+            sample /= np.maximum(
+                np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+            )
+        _, gt = streamed_exact_search(
+            sample, store, 10, metric=metric, normalize=norm
+        )
+        _, got = graph_artifact_search(
+            artifact, jnp.asarray(sample), 10, metric, self.efSearch
+        )
+        gt, got = np.asarray(gt), np.asarray(got)
+        hits = sum(
+            len(set(gt[r].tolist()) & set(got[r].tolist()))
+            for r in range(gt.shape[0])
+        )
+        return hits / gt.size
+
+    def build(self, vectors: np.ndarray, dimension: int) -> IndexArtifact:
+        from vectordb_retrieval_tpu.data.storage import (
+            corpus_to_device, is_out_of_core,
+        )
+
+        if is_out_of_core(vectors):
+            # >RAM/>HBM corpora: two-pass streamed block build (node mode
+            # would need the corpus resident for its knn graph + beam table)
+            art = self._build_block_stream(vectors, dimension)
+            check = self._selfcheck_stream(art, vectors)
+            art.metadata["selfcheck_recall"] = round(float(check), 4)
+            return art
         x = corpus_to_device(vectors)
         if self.metric == "cosine":
             x = dops.normalize(x)
