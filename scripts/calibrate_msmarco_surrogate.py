@@ -96,8 +96,15 @@ def main() -> int:
     ap.add_argument("--quick", action="store_true",
                     help="single shipped-defaults check, no grid")
     ap.add_argument("--grid", type=str, default="",
-                    help="comma triples alpha:child:point[:query]")
+                    help="comma tuples alpha:child:point[:query[:zipf]]")
+    ap.add_argument("--platform", type=str, default="",
+                    help="force jax platform (cpu for screening grids)")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     if args.quick:
         grid = [dict()]
@@ -109,6 +116,8 @@ def main() -> int:
                  "point_scale": parts[2]}
             if len(parts) > 3:
                 g["query_scale"] = parts[3]
+            if len(parts) > 4:
+                g["zipf"] = parts[4]
             grid.append(g)
     else:
         grid = [

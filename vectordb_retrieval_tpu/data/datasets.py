@@ -546,6 +546,12 @@ class Dataset:
         child_scale = float(self.options.get("child_scale", 0.9))
         point_scale = float(self.options.get("point_scale", 0.55))
         query_scale = float(self.options.get("query_scale", 0.8))
+        # Topic-frequency skew: occupancy of child cluster rank r ~ r^-zipf.
+        # High values over-crowd the head clusters (thousands of
+        # near-duplicates -> vanishing neighbour margins -> flat-PQ recall
+        # collapses far below the real-MiniLM level); the calibrated value
+        # keeps the skew without the pile-up.
+        zipf = float(self.options.get("zipf", 0.8))
 
         rng = np.random.default_rng(seed)
         spectrum = (np.arange(1, d + 1, dtype=np.float32)) ** (-alpha)
@@ -564,7 +570,7 @@ class Dataset:
             )
         ).reshape(n_parents * children_per, d)
         ranks = np.arange(1, children.shape[0] + 1, dtype=np.float64)
-        probs = ranks**-0.8
+        probs = ranks**-zipf
         probs /= probs.sum()
         assign = rng.choice(children.shape[0], size=n_train, p=probs)
         pts = children[assign] + point_scale * rng.standard_normal(
