@@ -96,7 +96,11 @@ def main() -> int:
     ap.add_argument("--quick", action="store_true",
                     help="single shipped-defaults check, no grid")
     ap.add_argument("--grid", type=str, default="",
-                    help="comma tuples alpha:child:point[:query[:zipf]]")
+                    help="comma-separated settings; each is either "
+                         "positional alpha:child:point[:query[:zipf]] or "
+                         "key=val pairs joined by ':' (full knob set: "
+                         "anisotropy child_scale point_scale query_scale "
+                         "zipf spectrum_align cluster_var)")
     ap.add_argument("--platform", type=str, default="",
                     help="force jax platform (cpu for screening grids)")
     args = ap.parse_args()
@@ -111,13 +115,19 @@ def main() -> int:
     elif args.grid:
         grid = []
         for spec in args.grid.split(","):
-            parts = [float(v) for v in spec.split(":")]
-            g = {"anisotropy": parts[0], "child_scale": parts[1],
-                 "point_scale": parts[2]}
-            if len(parts) > 3:
-                g["query_scale"] = parts[3]
-            if len(parts) > 4:
-                g["zipf"] = parts[4]
+            if "=" in spec:
+                g = {}
+                for kv in spec.split(":"):
+                    key, val = kv.split("=")
+                    g[key] = float(val)
+            else:
+                parts = [float(v) for v in spec.split(":")]
+                g = {"anisotropy": parts[0], "child_scale": parts[1],
+                     "point_scale": parts[2]}
+                if len(parts) > 3:
+                    g["query_scale"] = parts[3]
+                if len(parts) > 4:
+                    g["zipf"] = parts[4]
             grid.append(g)
     else:
         grid = [

@@ -24,6 +24,7 @@ Usage: python scripts/make_sift1m_surrogate.py [--n 1000000] [--out data/sift1m_
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 
@@ -100,6 +101,19 @@ def main() -> int:
         rng, args.queries, parents, children, probs, point_scale=0.6
     )
     write_fvecs(os.path.join(args.out, "sift_query.fvecs"), queries)
+    # provenance marker: data/datasets._load_sift1m labels any corpus with
+    # this file (or a "synth" dir name) as SURROGATE in benchmark reports
+    with open(os.path.join(args.out, "PROVENANCE.json"), "w") as f:
+        json.dump(
+            {
+                "surrogate": True,
+                "surrogate_for": "SIFT1M (TEXMEX 128d)",
+                "generator": "scripts/make_sift1m_surrogate.py",
+                "n": args.n,
+                "queries": args.queries,
+            },
+            f,
+        )
     zf = float((queries == 0).mean())
     print(
         f"wrote {args.n} base + {args.queries} query rows to {args.out} "

@@ -211,3 +211,100 @@ def test_ivf_recall_parity_at_fixed_nprobe_on_skewed_corpus():
     assert np.mean(ours) >= np.mean(oracle) - 1e-9, (
         f"ours {np.mean(ours):.3f} < reference-semantics {np.mean(oracle):.3f}"
     )
+
+
+def test_grouped_probe_scan_matches_ungrouped():
+    """Probe grouping (ops/ivf._probe_scan G buckets per scan step) is a
+    pure perf transform: results must be bit-identical to the
+    one-bucket-per-step scan for every family, including when the probe
+    count does not divide the group (masked pad slots)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vectordb_retrieval_tpu.ops.kmeans import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(3)
+    n, d, nlist = 2000, 16, 24
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((8, d)).astype(np.float32))
+    cents, _ = kmeans_fit(x, nlist, seed=0, iters=6)
+    assignments = np.asarray(kmeans_assign(x, cents))
+    slot_np, bl_np, _ = ivfops.build_bucketed_lists(assignments, nlist)
+    slots = jnp.asarray(slot_np)
+    coarse = cents[jnp.asarray(bl_np)]
+    safe = jnp.asarray(np.where(slot_np >= 0, slot_np, 0))
+    vecs = x[safe]
+    sqn = jnp.sum(vecs * vecs, axis=-1)
+
+    orig = ivfops._PROBE_GROUP_BYTES
+    outs = {}
+    # tiny budget -> G=1; huge -> G=nprobe; 13 probes with an in-between
+    # budget exercises the masked tail step
+    for label, budget in (("g1", 1), ("mid", 8 * 1024 * 16 * 4 * 4),
+                          ("gmax", 1 << 40)):
+        ivfops._PROBE_GROUP_BYTES = budget
+        try:
+            jax.clear_caches()
+            outs[label] = ivfops.ivf_flat_search(
+                q, coarse, slots, vecs, sqn, 10, 13, metric="l2"
+            )
+        finally:
+            ivfops._PROBE_GROUP_BYTES = orig
+    jax.clear_caches()
+    for label in ("mid", "gmax"):
+        np.testing.assert_array_equal(
+            np.asarray(outs["g1"][1]), np.asarray(outs[label][1]), label
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs["g1"][0]), np.asarray(outs[label][0]),
+            rtol=1e-6, err_msg=label,
+        )
+
+
+def test_stream_regime_matches_probe_scan():
+    """The masked-stream blockmin regime (ops/ivf._ivf_blockmin) must be
+    semantically identical to the gather probe scan: exact id parity on
+    the f32 flat path (both are exact within probed lists), and near-total
+    overlap for quantized payloads (the stream's exact-f32 block rescore
+    may only IMPROVE boundary ordering)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vectordb_retrieval_tpu.ops.kmeans import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(5)
+    n, d, nlist = 4000, 24, 32
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((32, d)).astype(np.float32))
+    cents, _ = kmeans_fit(x, nlist, seed=0, iters=6)
+    assign = np.asarray(kmeans_assign(x, cents))
+    slot_np, bl_np, _ = ivfops.build_bucketed_lists(assign, nlist)
+    slots = jnp.asarray(slot_np)
+    coarse = cents[jnp.asarray(bl_np)]
+    safe = jnp.asarray(np.where(slot_np >= 0, slot_np, 0))
+    vecs = x[safe]
+    sqn = jnp.sum(vecs * vecs, -1)
+    k = 10
+
+    orig = ivfops._use_stream
+    outs = {}
+    try:
+        for regime, fn in (
+            ("probe", lambda *a: False), ("stream", lambda *a: True)
+        ):
+            ivfops._use_stream = fn
+            jax.clear_caches()
+            outs[regime] = [
+                np.asarray(v)
+                for np_ in (3, 12)
+                for v in ivfops.ivf_flat_search(
+                    q, coarse, slots, vecs, sqn, k, np_, metric="l2"
+                )
+            ]
+    finally:
+        ivfops._use_stream = orig
+    jax.clear_caches()
+    for i in (1, 3):  # id arrays for nprobe 3 and 12
+        np.testing.assert_array_equal(
+            np.sort(outs["probe"][i], 1), np.sort(outs["stream"][i], 1)
+        )

@@ -359,6 +359,13 @@ class Dataset:
                     f"SIFT1M files missing under {root} and download failed "
                     f"({exc}); place sift_base.fvecs / sift_query.fvecs there"
                 ) from exc
+        # provenance: the generated stand-in corpus (make_sift1m_surrogate)
+        # must be labelled surrogate in reports — real TEXMEX files carry
+        # no marker and no "synth" dir name
+        marker = os.path.join(root, "PROVENANCE.json")
+        if os.path.exists(marker) or "synth" in os.path.basename(root):
+            self.metadata["surrogate"] = True
+            self.metadata["surrogate_for"] = "SIFT1M (TEXMEX 128d)"
         base_limit = self.options.get("base_limit")
         query_limit = self.options.get("test_size", self.options.get("query_limit"))
         base = read_fvecs(os.path.join(root, "sift_base.fvecs"), base_limit)
@@ -553,12 +560,43 @@ class Dataset:
         # keeps the skew without the pile-up.
         zipf = float(self.options.get("zipf", 0.8))
 
+        # Degree to which the variance spectrum stays in the NATIVE
+        # coordinate basis (0 = fully random-rotated, 1 = axis-aligned).
+        # Measured direction (calibration grid): alignment HURTS global
+        # PQ (0.63 -> 0.58 at 0.5, -> 0.36 at 0.75) — with the spectrum
+        # axis-aligned the first consecutive 6-dim PQ group carries the
+        # dominant variance with only 256 centroids, while a random
+        # rotation spreads variance evenly over all groups (the same
+        # balancing OPQ's rotation performs). Kept at 0 for the shipped
+        # calibration; the knob remains for sensitivity studies.
+        align = float(self.options.get("spectrum_align", 0.0))
+
+        # Per-cluster covariance heterogeneity: each child cluster's
+        # scatter gets its own per-dimension lognormal scale vector
+        # (sigma = cluster_var), rms-normalised per cluster so total
+        # scatter energy — and hence coarse-quantiser / flat / graph
+        # difficulty — is unchanged. What it changes is the SHAPE of the
+        # residual distribution per list: IVF-PQ trains one shared
+        # residual codebook over all lists (ops/pq.py), so heterogeneous
+        # residual covariances make residual coding strictly harder,
+        # mirroring real sentence embeddings where residual IVF-PQ
+        # (ref 0.699) underperforms global PQ (ref 0.776). Without this
+        # knob the surrogate had the inequality BACKWARDS (ivf_pq 0.81 >
+        # pq 0.78 at the otherwise-best setting).
+        cluster_var = float(self.options.get("cluster_var", 0.0))
+
         rng = np.random.default_rng(seed)
         spectrum = (np.arange(1, d + 1, dtype=np.float32)) ** (-alpha)
         spectrum /= np.sqrt(np.mean(spectrum**2))
-        # random rotation so the spectrum is not axis-aligned (PQ subspaces
-        # must not trivially align with the principal axes)
+        # random rotation so the spectrum is not trivially axis-aligned;
+        # ``align`` interpolates back toward the identity (columns
+        # renormalised so each spectrum component keeps its scale)
         basis, _ = np.linalg.qr(rng.standard_normal((d, d)))
+        if align:
+            basis = (1.0 - align) * basis + align * np.eye(d)
+            basis /= np.maximum(
+                np.linalg.norm(basis, axis=0, keepdims=True), 1e-12
+            )
         basis = (basis * spectrum[None, :]).astype(np.float32)  # scaled
 
         parents = rng.standard_normal((n_parents, d)).astype(np.float32)
@@ -572,15 +610,25 @@ class Dataset:
         ranks = np.arange(1, children.shape[0] + 1, dtype=np.float64)
         probs = ranks**-zipf
         probs /= probs.sum()
+        if cluster_var:
+            shapes = np.exp(
+                cluster_var
+                * rng.standard_normal((children.shape[0], d))
+            ).astype(np.float32)
+            shapes /= np.sqrt(
+                np.mean(shapes**2, axis=1, keepdims=True)
+            )  # per-cluster energy preserved
+        else:
+            shapes = np.ones((children.shape[0], d), np.float32)
         assign = rng.choice(children.shape[0], size=n_train, p=probs)
-        pts = children[assign] + point_scale * rng.standard_normal(
-            (n_train, d)
-        ).astype(np.float32)
-        # queries: near passage clusters, wider spread
+        pts = children[assign] + point_scale * shapes[
+            assign
+        ] * rng.standard_normal((n_train, d)).astype(np.float32)
+        # queries: near passage clusters, wider spread, same cluster shapes
         q_assign = rng.choice(children.shape[0], size=n_test, p=probs)
-        qs = children[q_assign] + query_scale * rng.standard_normal(
-            (n_test, d)
-        ).astype(np.float32)
+        qs = children[q_assign] + query_scale * shapes[
+            q_assign
+        ] * rng.standard_normal((n_test, d)).astype(np.float32)
 
         def shape(v: np.ndarray) -> np.ndarray:
             v = v @ basis.T  # impose the anisotropic spectrum

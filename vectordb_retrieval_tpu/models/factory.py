@@ -98,6 +98,7 @@ class FactoryIndexer(BaseIndexer):
         seed: int = 123,
         list_dtype: str = "bf16",
         exact_rescore: bool = False,
+        bucket_len: int = 0,
         **params: Any,
     ):
         super().__init__(metric=metric, **params)
@@ -105,6 +106,14 @@ class FactoryIndexer(BaseIndexer):
         self.nprobe = int(nprobe)
         self.train_iters = int(train_iters)
         self.seed = int(seed)
+        # bucket-length cap for the bucketed list layout (0 = per-coding
+        # default). Coded payloads (PQ/SQ8) default tighter: padding
+        # inflates BOTH the stored codes and the decode-on-read work, and
+        # the decode transient is bucket-shape-agnostic, so short buckets
+        # are nearly free there (measured 1.44 -> ~1.14 pad at
+        # IVF1024/1M, -20% index bytes and decode FLOPs); flat lists keep
+        # long buckets for big contiguous slab gathers.
+        self.bucket_len = int(bucket_len)
         if list_dtype not in ("bf16", "f32"):
             raise ValueError("list_dtype must be 'bf16' or 'f32'")
         self.list_dtype = list_dtype
@@ -368,8 +377,11 @@ class FactoryIndexer(BaseIndexer):
         # duplicated centroid rows, so skewed partitions cannot blow up
         # padding (measured pad 6.8x -> ~1.1x on clustered 100k x 384d;
         # ops/ivf.build_bucketed_lists)
+        cap = self.bucket_len or (
+            256 if spec["coding"] in ("pq", "sq8") else 2048
+        )
         slot_ids_np, bucket_lists_np, pad_ratio = ivfops.build_bucketed_lists(
-            assignments, nlist
+            assignments, nlist, target_len_cap=cap
         )
         slot_ids = jnp.asarray(slot_ids_np)
         bucket_lists = jnp.asarray(bucket_lists_np)

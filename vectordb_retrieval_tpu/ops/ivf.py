@@ -10,6 +10,19 @@ running top-k merge inside a ``lax.scan`` over the ``nprobe`` probed lists.
 K-means lists are near-balanced, so padding overhead is bounded (reported by
 the builder as ``pad_ratio`` for honest memory accounting).
 
+Each family picks one of two execution regimes per call (``_use_stream``):
+
+* **grouped gather probe scan** (small batch x nprobe): gather the probed
+  buckets' slabs per query, G buckets per scan step (``_probe_scan``);
+* **masked stream + blockmin certificate** (batch x nprobe >= n_buckets —
+  the probe union is dense): stream the WHOLE payload sequentially at HBM
+  bandwidth, mask unprobed buckets to +inf, keep per-8-slot block minima,
+  then gather + exactly rescore only the certified top-(k+slack) blocks
+  (``_ivf_blockmin``). Same recall semantics, no per-query gathers; the
+  quantized payload (bf16 / u8 / PQ codes) makes the stream 2-8x cheaper
+  than the f32 exact scan, which is where IVF's TPU speed advantage
+  actually lives at large batch.
+
 Payload variants share the probe loop:
   * flat : raw float32 vectors per slot
   * pq   : PQ codes of the **residual** (x - centroid), FAISS IVFPQ-style
@@ -134,21 +147,49 @@ def probe_budget_cum(bucket_lists: np.ndarray, nlist: int) -> np.ndarray:
     return np.cumsum(np.sort(counts)[::-1])
 
 
-def _probe_scan(probes, k, score_fn):
-    """Shared nprobe loop: scan over probe ranks, merging a running top-k.
+# gather-transient byte budget for one grouped probe step ([B, G, L, d]
+# at the payload dtype). 384 MB keeps the transient (plus XLA's
+# double-buffering) well under the ~8 GB usable-HBM envelope while giving
+# G ~6 at [256 q, L~1000, 128d bf16] and G ~20 on short coded buckets.
+_PROBE_GROUP_BYTES = 384 * 1024 * 1024
 
-    ``score_fn(list_idx [B]) -> (dist [B, max_len], ids [B, max_len])``.
+
+def _probe_scan(probes, k, score_fn, bucket_len=0, row_bytes=0):
+    """Shared nprobe loop: scan over probe GROUPS, merging a running top-k.
+
+    ``score_fn(lists [B, G]) -> (dist [B, G*L], ids [B, G*L])`` in
+    group-major layout (``reshape`` of ``[B, G, L]``).
+
+    Probes are processed ``G`` at a time: the measured per-step cost of the
+    one-bucket-per-step scan was ~1.5 ms at [256, ~1000] — dominated by the
+    per-step top-k merge, NOT the gather bytes — so QPS scaled inversely
+    with probe count (the round-2 5,077 -> 1,876 QPS regression when the
+    skew-proof probe budget grew). Grouping amortises the merge over G
+    buckets; G is sized so the [B, G, L, d] gather transient stays within
+    ``_PROBE_GROUP_BYTES`` (``row_bytes`` = payload bytes per slot row).
     """
     b, nprobe = probes.shape
+    group = 1
+    if bucket_len and row_bytes:
+        cap = _PROBE_GROUP_BYTES // max(b * bucket_len * row_bytes, 1)
+        group = int(max(1, min(nprobe, cap)))
+    steps = -(-nprobe // group)
+    pad = steps * group - nprobe
+    probes_p = jnp.pad(probes, ((0, 0), (0, pad))).reshape(b, steps, group)
+    valid_p = jnp.pad(
+        jnp.ones((b, nprobe), jnp.bool_), ((0, 0), (0, pad))
+    ).reshape(b, steps, group)
     init = (
         jnp.full((b, k), jnp.inf, jnp.float32),
         jnp.full((b, k), -1, jnp.int32),
     )
 
-    def step(carry, p):
+    def step(carry, s):
         best_d, best_i = carry
-        lists = probes[:, p]  # [B]
-        dist, ids = score_fn(lists)
+        lists = probes_p[:, s]  # [B, G]
+        dist, ids = score_fn(lists)  # [B, G*L]
+        L = dist.shape[1] // group
+        ids = jnp.where(jnp.repeat(valid_p[:, s], L, axis=1), ids, -1)
         dist = jnp.where(ids >= 0, dist, jnp.inf)
         cat_d = jnp.concatenate([best_d, dist], axis=1)
         cat_i = jnp.concatenate([best_i, ids], axis=1)
@@ -156,7 +197,7 @@ def _probe_scan(probes, k, score_fn):
         return (new_d, jnp.take_along_axis(cat_i, sel, axis=1)), None
 
     (best_d, best_i), _ = jax.lax.scan(
-        step, init, jnp.arange(nprobe, dtype=jnp.int32)
+        step, init, jnp.arange(steps, dtype=jnp.int32)
     )
     return best_d, best_i
 
@@ -165,6 +206,113 @@ def _coarse_probes(queries, centroids, nprobe):
     cd = dops.pairwise_distances(queries, centroids, "l2")
     _, probes = dops.top_k_smallest(cd, min(nprobe, centroids.shape[0]))
     return probes
+
+
+# masked-stream regime: when the probe UNION across the query batch is
+# dense (b * nprobe >= n_buckets), per-query bucket gathers re-read the
+# same bytes through a ~40 GB/s gather path while a sequential stream of
+# the whole payload runs at full HBM bandwidth — so stream everything,
+# mask to probed buckets, and select with the blockmin certificate.
+_BLOCKMIN_W = 8
+_BLOCKMIN_SLACK = 16
+# payload bytes per streamed chunk (sequential reads, transient only)
+_STREAM_CHUNK_BYTES = 64 * 1024 * 1024
+
+
+def _use_stream(b: int, nprobe: int, n_buckets: int) -> bool:
+    return b * nprobe >= n_buckets
+
+
+def _ivf_blockmin(
+    probes,  # [B, nprobe] bucket ranks
+    slot_ids,  # [n_bkt, L] db row ids, -1 padding
+    payload,  # pytree of [n_bkt, L, ...] arrays streamed chunk-wise
+    chunk_score,  # (payload_chunk) -> dist [B, C*L] f32 (index scoring)
+    block_rescore,  # (payload_blocks [B, nb, w, ...]) -> exact f32 [B, nb, w]
+    k: int,
+    w: int = _BLOCKMIN_W,
+    slack: int = _BLOCKMIN_SLACK,
+):
+    """IVF search as a masked full-payload stream + blockmin certificate.
+
+    Stage 1 streams the bucket payload SEQUENTIALLY (lax.scan over bucket
+    chunks — no per-query gathers), scores every slot against every query
+    on the MXU, masks out unprobed buckets and dead slots, and keeps only
+    per-``w``-slot block minima (the [B, S] distance matrix never reaches
+    HBM). Stage 2: the top ``k+slack`` blocks per query provably contain
+    the top-k probed slots under the index scoring (same certificate as
+    ops/distances._exact_search_blockmin); their rows are gathered as
+    whole ``w``-slabs and rescored in exact f32 arithmetic.
+
+    Recall semantics are identical to the probe scan: unprobed buckets
+    contribute +inf, and candidate selection uses the same quantized index
+    scoring the probe scan ranks with (the exact rescore can only improve
+    the final ordering). ``L`` is a multiple of ``w`` (build pads to 8),
+    so blocks never straddle buckets.
+    """
+    n_bkt, L = slot_ids.shape
+    b = probes.shape[0]
+    leaves = jax.tree_util.tree_leaves(payload)
+    row_bytes = sum(
+        int(np.prod(x.shape[2:]) or 1) * x.dtype.itemsize for x in leaves
+    )
+    chunk = max(1, min(n_bkt, _STREAM_CHUNK_BYTES // max(L * row_bytes, 1)))
+    nc = -(-n_bkt // chunk)
+    pad = nc * chunk - n_bkt
+
+    def prep(x):
+        widths = [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, [(0, pad)] + widths).reshape(
+            (nc, chunk) + x.shape[1:]
+        )
+
+    payload_p = jax.tree_util.tree_map(prep, payload)
+    slots_p = jnp.pad(
+        slot_ids, ((0, pad), (0, 0)), constant_values=-1
+    ).reshape(nc, chunk, L)
+
+    def step(_, inp):
+        c_idx, pl, sl = inp
+        dist = chunk_score(pl)  # [B, chunk*L]
+        local = probes - c_idx * chunk  # [B, nprobe]
+        hit = jnp.zeros((b, chunk), dtype=jnp.bool_)
+        hit = hit.at[
+            jnp.arange(b)[:, None], jnp.clip(local, 0, chunk - 1)
+        ].max(jnp.logical_and(local >= 0, local < chunk))
+        valid = (sl.reshape(1, chunk * L) >= 0) & jnp.repeat(hit, L, axis=1)
+        dist = jnp.where(valid, dist, jnp.inf)
+        bm = jnp.min(dist.reshape(b, chunk * L // w, w), axis=-1)
+        return None, bm
+
+    _, bms = jax.lax.scan(
+        step,
+        None,
+        (jnp.arange(nc, dtype=jnp.int32), payload_p, slots_p),
+    )
+    bmins = jnp.moveaxis(bms, 0, 1).reshape(b, -1)  # [B, nc*chunk*L/w]
+    nb = min(k + slack, bmins.shape[1])
+    _, blk = dops.top_k_smallest(bmins, nb)  # [B, nb] block indices
+
+    flat_slots = slots_p.reshape(-1)  # [nc*chunk*L]
+    cand = flat_slots[
+        blk[:, :, None] * w
+        + jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
+    ]  # [B, nb, w]
+
+    def blocks_of(x):
+        return x.reshape((nc * chunk * L // w, w) + x.shape[3:])[blk]
+
+    cd = block_rescore(jax.tree_util.tree_map(blocks_of, payload_p))
+    # a query with < nb probed blocks can pull all-inf blocks into its
+    # top-nb — their rows are UNPROBED and must stay invisible
+    probed_blk = jnp.isfinite(jnp.take_along_axis(bmins, blk, axis=1))
+    cd = jnp.where(probed_blk[:, :, None], cd, jnp.inf)
+    cd = jnp.where(cand >= 0, cd, jnp.inf).reshape(b, nb * w)
+    cand = cand.reshape(b, nb * w)
+    vals, sel = dops.top_k_smallest(cd, k)
+    ids = jnp.take_along_axis(cand, sel, axis=1)
+    ids = jnp.where(jnp.isfinite(vals), ids, -1)
+    return vals, ids
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
@@ -193,6 +341,51 @@ def ivf_flat_search(
     # small k (a k*2 cap left k=1 with a single spare candidate)
     fetch_k = k + 8 if compressed else k
     q_cast = queries.astype(list_vecs.dtype)
+
+    if _use_stream(queries.shape[0], probes.shape[1], slot_ids.shape[0]):
+        b = queries.shape[0]
+
+        # f32 lists feed selection AND final ranking: HIGH keeps the
+        # blockmin certificate exact (CLAUDE.md precision rule). bf16
+        # lists select on bf16 scores like the probe scan, then rescore.
+        s_prec = (
+            jax.lax.Precision.HIGH
+            if list_vecs.dtype == jnp.float32
+            else None
+        )
+
+        def chunk_score(pl):
+            vecs, sqn = pl
+            c = vecs.shape[0]
+            dots = jax.lax.dot_general(
+                q_cast, vecs.reshape(c * vecs.shape[1], -1),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=s_prec,
+            )
+            if metric == "l2":
+                return qn[:, None] + sqn.reshape(1, -1) - 2.0 * dots
+            return -dots
+
+        def block_rescore(pl):
+            vecs, _ = pl  # [B, nb, w, d]
+            v32 = vecs.astype(jnp.float32)
+            if metric == "l2":
+                diff = v32 - queries[:, None, None, :]
+                return jnp.sum(diff * diff, axis=-1)  # VPU exact
+            return -jnp.sum(v32 * queries[:, None, None, :], axis=-1)
+
+        dists, ids = _ivf_blockmin(
+            probes, slot_ids, (list_vecs, list_sqnorms),
+            chunk_score, block_rescore, fetch_k,
+        )
+        if compressed:
+            cd = dops.rescore(queries, full_vectors, ids, metric)
+            vals, sel = dops.top_k_smallest(cd, k)
+            ids = jnp.take_along_axis(ids, sel, axis=1)
+            ids = jnp.where(jnp.isfinite(vals), ids, -1)
+            return vals, ids
+        return dists, ids
     # f32 lists feed the ranking directly (no rescore): DEFAULT precision
     # would truncate them to bf16 and silently forfeit the f32 mode's
     # recall advantage (CLAUDE.md precision rule). bf16 lists are rescored
@@ -204,19 +397,24 @@ def ivf_flat_search(
     )
 
     def score(lists):
-        vecs = list_vecs[lists]  # [B, L, d]
-        ids = slot_ids[lists]  # [B, L]
+        b, g = lists.shape
+        vecs = list_vecs[lists]  # [B, G, L, d]
+        ids = slot_ids[lists]  # [B, G, L]
         dots = jnp.einsum(
-            "bld,bd->bl", vecs, q_cast,
+            "bgld,bd->bgl", vecs, q_cast,
             preferred_element_type=jnp.float32, precision=prec,
         )
         if metric == "l2":
-            dist = qn[:, None] + list_sqnorms[lists] - 2.0 * dots
+            dist = qn[:, None, None] + list_sqnorms[lists] - 2.0 * dots
         else:
             dist = -dots
-        return dist, ids
+        return dist.reshape(b, -1), ids.reshape(b, -1)
 
-    dists, ids = _probe_scan(probes, fetch_k, score)
+    L = slot_ids.shape[1]
+    dists, ids = _probe_scan(
+        probes, fetch_k, score,
+        bucket_len=L, row_bytes=list_vecs.shape[-1] * list_vecs.dtype.itemsize,
+    )
     if compressed:
         cd = dops.rescore(queries, full_vectors, ids, metric)
         vals, sel = dops.top_k_smallest(cd, k)
@@ -316,20 +514,50 @@ def ivf_pq_search(
         recon_sqn = recon_sqn.reshape(n_chunks * chunk, L)[:n_bkt]
         q_cast = queries.astype(recon.dtype)
 
+        if _use_stream(b, probes.shape[1], n_bkt):
+
+            def chunk_score(pl):
+                vecs, sqn = pl
+                c = vecs.shape[0]
+                dots = jax.lax.dot_general(
+                    q_cast, vecs.reshape(c * L, d),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if metric == "l2":
+                    return qn[:, None] + sqn.reshape(1, -1) - 2.0 * dots
+                return -dots
+
+            def block_rescore(pl):
+                vecs, _ = pl  # [B, nb, w, d] bf16 reconstructions
+                v32 = vecs.astype(jnp.float32)
+                if metric == "l2":
+                    diff = v32 - queries[:, None, None, :]
+                    return jnp.sum(diff * diff, axis=-1)  # VPU exact
+                return -jnp.sum(v32 * queries[:, None, None, :], axis=-1)
+
+            return _ivf_blockmin(
+                probes, slot_ids, (recon, recon_sqn),
+                chunk_score, block_rescore, k,
+            )
+
         def score(lists):
-            vecs = recon[lists]
+            bq, g = lists.shape
+            vecs = recon[lists]  # [B, G, L, d]
             ids = slot_ids[lists]
             dots = jnp.einsum(
-                "bld,bd->bl", vecs, q_cast,
+                "bgld,bd->bgl", vecs, q_cast,
                 preferred_element_type=jnp.float32,
             )
             if metric == "l2":
-                dist = qn[:, None] + recon_sqn[lists] - 2.0 * dots
+                dist = qn[:, None, None] + recon_sqn[lists] - 2.0 * dots
             else:
                 dist = -dots
-            return dist, ids
+            return dist.reshape(bq, -1), ids.reshape(bq, -1)
 
-        return _probe_scan(probes, k, score)
+        return _probe_scan(
+            probes, k, score, bucket_len=L, row_bytes=d * 2
+        )
 
     # --- streaming masked scan (bounded transient) ---
     chunk = max(1, min(n_bkt, chunk_budget // max(L * d * 2, 1)))
@@ -415,19 +643,52 @@ def ivf_sq_search(
     q_scaled = (queries * step[None, :]).astype(jnp.bfloat16)
     q_vmin = queries @ vmin  # [B]
 
+    if _use_stream(queries.shape[0], probes.shape[1], slot_ids.shape[0]):
+
+        def chunk_score(pl):
+            codes, sqn = pl
+            c, L, d = codes.shape
+            dots = jax.lax.dot_general(
+                q_scaled, codes.reshape(c * L, d).astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + q_vmin[:, None]
+            if metric == "l2":
+                return qn[:, None] + sqn.reshape(1, -1) - 2.0 * dots
+            return -dots
+
+        def block_rescore(pl):
+            codes, _ = pl  # [B, nb, w, d] u8
+            x_hat = vmin[None, None, None, :] + codes.astype(
+                jnp.float32
+            ) * step[None, None, None, :]
+            if metric == "l2":
+                diff = x_hat - queries[:, None, None, :]
+                return jnp.sum(diff * diff, axis=-1)  # VPU exact
+            return -jnp.sum(x_hat * queries[:, None, None, :], axis=-1)
+
+        return _ivf_blockmin(
+            probes, slot_ids, (list_codes, list_sqnorms),
+            chunk_score, block_rescore, k,
+        )
+
     def score(lists):
-        codes = list_codes[lists]  # [B, L, d] uint8
+        b, g = lists.shape
+        codes = list_codes[lists]  # [B, G, L, d] uint8
         ids = slot_ids[lists]
         dots = jnp.einsum(
-            "bld,bd->bl",
+            "bgld,bd->bgl",
             codes.astype(jnp.bfloat16),
             q_scaled,
             preferred_element_type=jnp.float32,
-        ) + q_vmin[:, None]
+        ) + q_vmin[:, None, None]
         if metric == "l2":
-            dist = qn[:, None] + list_sqnorms[lists] - 2.0 * dots
+            dist = qn[:, None, None] + list_sqnorms[lists] - 2.0 * dots
         else:
             dist = -dots
-        return dist, ids
+        return dist.reshape(b, -1), ids.reshape(b, -1)
 
-    return _probe_scan(probes, k, score)
+    return _probe_scan(
+        probes, k, score,
+        bucket_len=slot_ids.shape[1], row_bytes=list_codes.shape[-1],
+    )
