@@ -41,7 +41,7 @@ TARGETS = {
 K = 20
 
 
-def run_setting(n_train: int, **opts):
+def run_setting(n_train: int, algos_filter=None, **opts):
     from vectordb_retrieval_tpu.bench.metrics import recall_at_k
     from vectordb_retrieval_tpu.data.datasets import Dataset
     from vectordb_retrieval_tpu.models.composite import CompositeAlgorithm
@@ -80,6 +80,8 @@ def run_setting(n_train: int, **opts):
         ),
     }
     out = {}
+    if algos_filter:
+        algos = {k: v for k, v in algos.items() if k in algos_filter}
     for name, (idx, srch) in algos.items():
         algo = CompositeAlgorithm(
             dimension=x.shape[1], indexer=idx, searcher=srch, metric="cosine"
@@ -103,7 +105,14 @@ def main() -> int:
                          "zipf spectrum_align cluster_var)")
     ap.add_argument("--platform", type=str, default="",
                     help="force jax platform (cpu for screening grids)")
+    ap.add_argument("--algos", type=str, default="",
+                    help="comma-separated subset to run (screening grids "
+                         "drop the slow hnsw build; max|err| is then over "
+                         "that subset only)")
     args = ap.parse_args()
+    algos_filter = (
+        tuple(a for a in args.algos.split(",") if a) or None
+    )
 
     if args.platform:
         import jax
@@ -139,10 +148,10 @@ def main() -> int:
 
     best, best_err = None, np.inf
     for opts in grid:
-        rec = run_setting(args.n, **opts)
-        errs = {k: rec[k] - TARGETS[k] for k in TARGETS}
+        rec = run_setting(args.n, algos_filter=algos_filter, **opts)
+        errs = {k: rec[k] - TARGETS[k] for k in rec}
         max_err = max(abs(v) for v in errs.values())
-        line = " ".join(f"{k}={rec[k]:.3f}({errs[k]:+.3f})" for k in TARGETS)
+        line = " ".join(f"{k}={rec[k]:.3f}({errs[k]:+.3f})" for k in rec)
         print(f"{opts} -> {line}  max|err|={max_err:.3f}", flush=True)
         if max_err < best_err:
             best, best_err = opts, max_err

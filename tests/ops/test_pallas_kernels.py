@@ -45,3 +45,72 @@ def test_pallas_blockmin_matches_oracle(rng):
         rows = [ti * tile + j + i * seg for i in range(w)]
         want = full[:, rows].min(-1)
         np.testing.assert_allclose(bm[:, g], want, rtol=1e-3, atol=1e-3)
+
+
+def test_slab_dots_matches_gather_einsum(rng):
+    from vectordb_retrieval_tpu.ops.pallas_kernels import slab_dots_pallas
+
+    b, w, nb, length, d = 16, 4, 12, 8, 128
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    lv = rng.standard_normal((nb, length, d)).astype(np.float32)
+    sel = rng.integers(0, nb, (b, w)).astype(np.int32)
+    out = np.asarray(
+        slab_dots_pallas(
+            jnp.asarray(q), jnp.asarray(lv), jnp.asarray(sel),
+            interpret=True,
+        )
+    )
+    ref = np.einsum(
+        "bwld,bd->bwl", lv.astype(np.float64)[sel], q.astype(np.float64)
+    )
+    assert out.shape == (b, w, length)
+    assert np.max(np.abs(out - ref)) < 1e-3
+
+
+def test_slab_dots_bf16_storage(rng):
+    from vectordb_retrieval_tpu.ops.pallas_kernels import slab_dots_pallas
+
+    b, w, nb, length, d = 8, 4, 6, 8, 128
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    lv = rng.standard_normal((nb, length, d)).astype(np.float32)
+    sel = rng.integers(0, nb, (b, w)).astype(np.int32)
+    out = np.asarray(
+        slab_dots_pallas(
+            jnp.asarray(q), jnp.asarray(lv, dtype=jnp.bfloat16),
+            jnp.asarray(sel), interpret=True,
+        )
+    )
+    # the kernel truncates the query to the slab dtype before the dot
+    ref = np.einsum(
+        "bwld,bd->bwl",
+        np.asarray(
+            jnp.asarray(lv, dtype=jnp.bfloat16).astype(jnp.float32)
+        )[sel],
+        np.asarray(
+            jnp.asarray(q, dtype=jnp.bfloat16).astype(jnp.float32)
+        ),
+    )
+    assert out.dtype == np.float32
+    # bf16 inputs, f32 accumulation: only rounding of the products left
+    assert np.max(np.abs(out - ref) / (np.abs(ref) + 1.0)) < 1e-2
+
+
+def test_slab_dots_w_padding(rng):
+    # w=5 with w_per>1 exercises the pad-to-multiple path
+    from vectordb_retrieval_tpu.ops.pallas_kernels import slab_dots_pallas
+
+    b, w, nb, length, d = 8, 5, 7, 8, 128
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    lv = rng.standard_normal((nb, length, d)).astype(np.float32)
+    sel = rng.integers(0, nb, (b, w)).astype(np.int32)
+    out = np.asarray(
+        slab_dots_pallas(
+            jnp.asarray(q), jnp.asarray(lv), jnp.asarray(sel),
+            interpret=True,
+        )
+    )
+    ref = np.einsum(
+        "bwld,bd->bwl", lv.astype(np.float64)[sel], q.astype(np.float64)
+    )
+    assert out.shape == (b, w, length)
+    assert np.max(np.abs(out - ref)) < 1e-3

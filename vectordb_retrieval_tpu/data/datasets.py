@@ -585,7 +585,37 @@ class Dataset:
         # pq 0.78 at the otherwise-best setting).
         cluster_var = float(self.options.get("cluster_var", 0.0))
 
+        # Heavy-tailed point scatter: student-t with ``tail_df`` degrees
+        # of freedom (variance-normalised; 0 = gaussian). Quantiser-
+        # SELECTIVE difficulty: exact scoring (ivf_flat lists, graph) is
+        # indifferent to the coordinate value distribution, but 8-bit
+        # affine SQ ranges and 256-codeword PQ cells are stretched by
+        # outliers, inflating quantisation error relative to neighbour
+        # margins — the axis the round-2 surrogate had uniformly too easy
+        # (sq8 +0.05, pq +0.05, ivf_pq +0.11 vs the real-MiniLM targets
+        # while ivf_flat sat ON target).
+        tail_df = float(self.options.get("tail_df", 0.0))
+
+        # Stray points: a fraction of passages displaced ``outlier_scale``
+        # x the point scatter. Their coarse-list assignment is then weakly
+        # coupled to the topic geometry, so when a stray IS a true
+        # neighbour it tends to live in a list the query ranks poorly —
+        # fattening the tail of the neighbour-list-rank CDF. This is the
+        # coverage axis the gaussian surrogate lacks: its CDF saturates by
+        # ~10% of lists probed (ivf_sq8 0.99 at nprobe 48/256 vs the
+        # real-MiniLM 0.947), while real embeddings keep paying for more
+        # probes. Exact search is unaffected (GT includes strays).
+        outlier_frac = float(self.options.get("outlier_frac", 0.0))
+        outlier_scale = float(self.options.get("outlier_scale", 3.0))
+
         rng = np.random.default_rng(seed)
+
+        def scatter(*shape: int) -> np.ndarray:
+            if tail_df > 2.0:
+                out = rng.standard_t(tail_df, size=shape)
+                out /= np.sqrt(tail_df / (tail_df - 2.0))
+                return out.astype(np.float32)
+            return rng.standard_normal(shape).astype(np.float32)
         spectrum = (np.arange(1, d + 1, dtype=np.float32)) ** (-alpha)
         spectrum /= np.sqrt(np.mean(spectrum**2))
         # random rotation so the spectrum is not trivially axis-aligned;
@@ -621,14 +651,18 @@ class Dataset:
         else:
             shapes = np.ones((children.shape[0], d), np.float32)
         assign = rng.choice(children.shape[0], size=n_train, p=probs)
-        pts = children[assign] + point_scale * shapes[
+        point_mult = np.ones((n_train, 1), np.float32)
+        if outlier_frac > 0.0:
+            stray = rng.random(n_train) < outlier_frac
+            point_mult[stray] = outlier_scale
+        pts = children[assign] + point_scale * point_mult * shapes[
             assign
-        ] * rng.standard_normal((n_train, d)).astype(np.float32)
+        ] * scatter(n_train, d)
         # queries: near passage clusters, wider spread, same cluster shapes
         q_assign = rng.choice(children.shape[0], size=n_test, p=probs)
         qs = children[q_assign] + query_scale * shapes[
             q_assign
-        ] * rng.standard_normal((n_test, d)).astype(np.float32)
+        ] * scatter(n_test, d)
 
         def shape(v: np.ndarray) -> np.ndarray:
             v = v @ basis.T  # impose the anisotropic spectrum

@@ -593,7 +593,8 @@ class ANNSearcher(BaseSearcher):
                     )
 
                     efb, expand, iters = block_geometry(
-                        int(meta["n_blocks"]), ef, eff_k
+                        int(meta["n_blocks"]), ef, eff_k,
+                        block_len=int(meta.get("block_len", 128)),
                     )
                     dists, ids = par.sharded_block_graph_search(
                         q, d, eff_k, mesh,
@@ -667,7 +668,8 @@ class ANNSearcher(BaseSearcher):
             )
             if meta.get("mode") == "block":
                 _, expand, iters = block_geometry(
-                    int(meta["n_blocks"]), ef_search, 10
+                    int(meta["n_blocks"]), ef_search, 10,
+                    block_len=int(meta.get("block_len", 128)),
                 )
                 return int(meta["n_blocks"]) + int(
                     expand * iters * meta.get("block_len", 0)

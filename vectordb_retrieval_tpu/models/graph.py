@@ -73,7 +73,12 @@ class GraphIndexer(BaseIndexer):
         self.block_size = int(block_size)
 
     def _block_geom(self, n: int):
-        block = self.block_size or 128
+        # default 256-row blocks: with the Pallas slab kernel the wave
+        # probe is DMA-ISSUE-bound, and 256-row slabs move ~1.5x more
+        # rows/s than 128-row slabs at equal recall-per-row (measured
+        # round 3, msmarco shape; block_geometry's row-budget mapping
+        # keeps recall at a given efSearch independent of this choice)
+        block = self.block_size or 256
         n_blocks = max(1, -(-n // block))
         degree = max(4, min(2 * self.M, n_blocks - 1))
         return n_blocks, degree
@@ -302,16 +307,21 @@ def beam_geometry(n: int, degree: int, ef_search: int, k: int):
     return ef, expand, keep, iters
 
 
-def block_geometry(n_blocks: int, ef_search: int, k: int):
+def block_geometry(n_blocks: int, ef_search: int, k: int,
+                   block_len: int = 128):
     """Block-mode beam geometry ``(efb, expand, iters)``.
 
-    efSearch maps to the probe budget (total blocks scored =
-    ``expand * iters``): at the default block size (~128 rows) probing
-    ~efSearch/2 blocks lands the recall in the same band as HNSW at the
-    same efSearch (calibrated on the SIFT-shaped surrogate, round 3).
+    efSearch maps to a ROW budget (total member rows scored =
+    ``expand * iters * block_len`` ~= 64 * efSearch): scoring
+    ~64*efSearch rows lands the recall in the same band regardless of
+    block size (measured round 3 at msmarco shape: ~11.3k rows -> 0.967
+    recall at both L=128 and L=256), and at the L=128 reference point
+    this reduces to the round-3 calibration of ~efSearch/2 blocks
+    matching HNSW's recall at the same efSearch (SIFT-shaped surrogate).
     The frontier ``efb`` only needs headroom over one expansion wave.
     """
-    probes = max(8, min(-(-ef_search // 2), n_blocks))
+    probes = max(8, min(-(-(ef_search * 64) // max(block_len, 1)),
+                        n_blocks))
     expand = max(4, min(8, probes))
     iters = max(1, -(-probes // expand))
     efb = min(max(4 * expand, 32), n_blocks)
@@ -329,7 +339,8 @@ def graph_artifact_search(
     n = meta["n_vectors"]
     if meta.get("mode") == "block":
         efb, expand, iters = block_geometry(
-            int(meta["n_blocks"]), ef_search, k
+            int(meta["n_blocks"]), ef_search, k,
+            block_len=int(meta.get("block_len", 128)),
         )
         return gops.block_graph_search(
             q,

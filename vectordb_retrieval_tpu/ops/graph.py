@@ -36,6 +36,21 @@ from vectordb_retrieval_tpu.ops import distances as dops
 _BUILD_BATCH = 1024
 
 
+def _use_slab_kernel(b: int, length: int, dim: int) -> bool:
+    """Route the wave probe through the Pallas slab-scan kernel.
+
+    Trace-time decision: TPU backend only (tests/CPU keep the XLA gather
+    path — interpret-mode Pallas would be pure overhead there), and the
+    slab must tile cleanly (lanes: d % 128, sublanes: L % 8) so Mosaic
+    DMAs it without relayout padding.
+    """
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        on_tpu = False
+    return on_tpu and dim % 128 == 0 and length % 8 == 0 and b >= 8
+
+
 @functools.partial(jax.jit, static_argnames=("degree",))
 def _diversify_batch(
     cand_ids: jax.Array,  # [B, C] nearest-first candidates (self excluded)
@@ -574,52 +589,83 @@ def block_graph_search(
             visited, sel_blocks, (0, t * expand)
         )
 
-        # probe in sub-waves: [B, wsub, L, d] slab gathers + one batched
-        # HIGH-precision dot + one top-k merge each. One-block-at-a-time
-        # serialised W gather latencies and W merges per iteration
-        # (measured 9.0k -> 12.9k QPS at 1M going wave-at-once), but an
-        # unbounded [B, W, L, d] transient backfires once it outgrows a
-        # ~128 MB working set (805 MB at B=512/d=384: measured 7.5k ->
-        # 6.0k), so the sub-wave width is chosen at trace time to keep the
-        # gather transient bounded.
         L = slot_ids.shape[1]
         dim_d = list_vecs.shape[2]
-        per_block = b * L * dim_d * 4
-        wsub = int(max(1, min(expand, (128 << 20) // max(per_block, 1))))
-        n_sub = -(-expand // wsub)
-        pad_w = n_sub * wsub - expand
-        sel_p = jnp.pad(
-            sel_blocks, ((0, 0), (0, pad_w)), constant_values=-1
-        ).reshape(b, n_sub, wsub)
+        if _use_slab_kernel(b, L, dim_d):
+            # Pallas scalar-prefetch slab scan (pallas_kernels.slab_dots):
+            # each (query, popped-slot) grid cell DMAs its selected
+            # block's contiguous [L, d] slab HBM->VMEM and the MXU
+            # consumes it there — no [B, W, L, d] HBM gather transient,
+            # no sub-wave serialisation, ONE top-k merge per wave
+            # (measured 3.3 ms vs 4.9 ms per 512x8-slab wave at d=384,
+            # and the XLA path additionally pays W sequential sub-waves
+            # at this shape).
+            from vectordb_retrieval_tpu.ops import pallas_kernels as pk
 
-        def probe(carry, sw):
-            rk_d, rk_i = carry
-            blocks = sel_p[:, sw]  # [B, wsub]
-            safe_blk = jnp.where(blocks >= 0, blocks, 0)
-            vecs = list_vecs[safe_blk]  # [B, wsub, L, d] contiguous slabs
+            safe_blk = jnp.where(sel_blocks >= 0, sel_blocks, 0)
+            dots = pk.slab_dots(queries, list_vecs, safe_blk)  # [B, W, L]
             ids = jnp.where(
-                (blocks >= 0)[:, :, None], slot_ids[safe_blk], -1
-            ).reshape(b, wsub * L)
-            dots = jnp.einsum(
-                "bwld,bd->bwl", vecs, queries,
-                preferred_element_type=jnp.float32, precision=prec,
-            )
+                (sel_blocks >= 0)[:, :, None], slot_ids[safe_blk], -1
+            ).reshape(b, expand * L)
             if metric == "l2":
                 dist = qn[:, None, None] + list_sqn[safe_blk] - 2.0 * dots
             else:
                 dist = -dots
-            dist = jnp.where(ids >= 0, dist.reshape(b, wsub * L), big)
+            dist = jnp.where(ids >= 0, dist.reshape(b, expand * L), big)
             cat_d = jnp.concatenate([rk_d, dist], axis=1)
             cat_i = jnp.concatenate([rk_i, ids], axis=1)
             nd, selr = dops.top_k_smallest(cat_d, kk)
-            return (nd, jnp.take_along_axis(cat_i, selr, axis=1)), None
-
-        if n_sub == 1:
-            (rk_d, rk_i), _ = probe((rk_d, rk_i), 0)
+            rk_d, rk_i = nd, jnp.take_along_axis(cat_i, selr, axis=1)
         else:
-            (rk_d, rk_i), _ = jax.lax.scan(
-                probe, (rk_d, rk_i), jnp.arange(n_sub, dtype=jnp.int32)
+            # XLA fallback: probe in sub-waves — [B, wsub, L, d] slab
+            # gathers + one batched HIGH-precision dot + one top-k merge
+            # each. One-block-at-a-time serialised W gather latencies and
+            # W merges per iteration (measured 9.0k -> 12.9k QPS at 1M
+            # going wave-at-once), but an unbounded [B, W, L, d]
+            # transient backfires once it outgrows a ~128 MB working set
+            # (805 MB at B=512/d=384: measured 7.5k -> 6.0k), so the
+            # sub-wave width is chosen at trace time to keep the gather
+            # transient bounded.
+            per_block = b * L * dim_d * 4
+            wsub = int(
+                max(1, min(expand, (128 << 20) // max(per_block, 1)))
             )
+            n_sub = -(-expand // wsub)
+            pad_w = n_sub * wsub - expand
+            sel_p = jnp.pad(
+                sel_blocks, ((0, 0), (0, pad_w)), constant_values=-1
+            ).reshape(b, n_sub, wsub)
+
+            def probe(carry, sw):
+                rk_d, rk_i = carry
+                blocks = sel_p[:, sw]  # [B, wsub]
+                safe_blk = jnp.where(blocks >= 0, blocks, 0)
+                vecs = list_vecs[safe_blk]  # [B, wsub, L, d] slabs
+                ids = jnp.where(
+                    (blocks >= 0)[:, :, None], slot_ids[safe_blk], -1
+                ).reshape(b, wsub * L)
+                dots = jnp.einsum(
+                    "bwld,bd->bwl", vecs, queries,
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                if metric == "l2":
+                    dist = (
+                        qn[:, None, None] + list_sqn[safe_blk] - 2.0 * dots
+                    )
+                else:
+                    dist = -dots
+                dist = jnp.where(ids >= 0, dist.reshape(b, wsub * L), big)
+                cat_d = jnp.concatenate([rk_d, dist], axis=1)
+                cat_i = jnp.concatenate([rk_i, ids], axis=1)
+                nd, selr = dops.top_k_smallest(cat_d, kk)
+                return (nd, jnp.take_along_axis(cat_i, selr, axis=1)), None
+
+            if n_sub == 1:
+                (rk_d, rk_i), _ = probe((rk_d, rk_i), 0)
+            else:
+                (rk_d, rk_i), _ = jax.lax.scan(
+                    probe, (rk_d, rk_i), jnp.arange(n_sub, dtype=jnp.int32)
+                )
 
         # push graph neighbours of the popped entries into the frontier
         safe_sel = jnp.where(sel_entries >= 0, sel_entries, 0)

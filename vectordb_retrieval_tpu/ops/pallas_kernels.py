@@ -181,3 +181,125 @@ def blockmin_pallas(
         out_shape=jax.ShapeDtypeStruct((b, n // w), jnp.float32),
         interpret=interpret,
     )(queries, qn, database)
+
+
+# ---- scalar-prefetched block-slab distance scan (block-graph beam) --------
+#
+# The block-graph wave probe (ops/graph.block_graph_search) scores every
+# member row of the `W` blocks each query's beam pops per iteration. The
+# XLA formulation is a data-dependent gather `list_vecs[sel]` that
+# materialises a [B, W, L, d] HBM transient before the dot reads it back
+# (3x the slab bytes through HBM), and the 128 MB transient cap forces the
+# wave into sub-waves — at msmarco shape (B=512, d=384) wsub=1, i.e. W
+# SEQUENTIAL gather+merge steps per wave (the round-2 graph-QPS gap, docs/
+# roadmap.md #1). This kernel is the roadmap's beam-gather DMA kernel in
+# block form: the grid walks (query, popped-slot) cells, a scalar-prefetch
+# index map DMAs each selected block's contiguous [L, d] slab HBM->VMEM
+# (Mosaic double-buffers across cells), and the MXU consumes it in VMEM.
+# The slab bytes cross HBM exactly once and the whole wave emits one
+# [B, W, L] dots tensor — one top-k merge per wave instead of W.
+
+
+# VMEM budget for the in-flight slab set: w_per slabs double-buffered
+# must fit comfortably under the ~16 MB core VMEM alongside the resident
+# query matrix and the output block. Measured on v5e (512 queries x 8
+# slabs x 384d): w_per=8 reaches 459 GB/s effective for 256-row f32
+# slabs vs 230 GB/s one-slab-per-cell — per-cell DMA issue overhead,
+# not bandwidth, is the binding constraint, so fewer/bigger cells win.
+_SLAB_VMEM_BUDGET = 6 << 20
+
+
+def _make_slab_kernel(w_per: int):
+    def kernel(sel_ref, q_ref, *refs):
+        del sel_ref  # consumed by the index maps
+        vec_refs, out_ref = refs[:-1], refs[-1]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        q = q_ref[pl.ds(i, 1), :]  # [1, d] — queries stay VMEM-resident
+        outs = []
+        for r in vec_refs:
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if r.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT  # bf16 in, f32 accum
+            )
+            outs.append(
+                jax.lax.dot_general(
+                    q.astype(r.dtype),
+                    r[0],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )
+            )  # [1, L]
+        out_ref[0, pl.ds(j * w_per, w_per), :] = jnp.concatenate(outs, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def slab_dots_pallas(
+    queries: jax.Array,  # [B, d] f32
+    list_vecs: jax.Array,  # [Nb, L, d] f32 or bf16
+    sel: jax.Array,  # [B, W] int32 block ids, pre-clamped to [0, Nb)
+    interpret: bool = False,
+) -> jax.Array:
+    """``dots[b, w, :] = list_vecs[sel[b, w]] @ queries[b]`` — [B, W, L] f32.
+
+    Each grid cell handles ``w_per`` slabs (separate scalar-prefetch
+    block specs over the same HBM array) to amortise per-cell overhead.
+    Ranking-feeding: f32 slabs use HIGHEST-precision dots (Mosaic has no
+    HIGH); bf16 slabs accumulate in f32 (exact for bf16 storage).
+    """
+    b, d = queries.shape
+    nb, length, _ = list_vecs.shape
+    w = sel.shape[1]
+    isz = jnp.dtype(list_vecs.dtype).itemsize
+    w_per = int(
+        min(w, max(1, _SLAB_VMEM_BUDGET // (2 * length * d * isz)))
+    )
+    w_pad = -(-w // w_per) * w_per
+    if w_pad != w:
+        sel = jnp.pad(sel, ((0, 0), (0, w_pad - w)))  # pad slabs -> block 0
+    vec_specs = [
+        pl.BlockSpec(
+            (1, length, d),
+            # bind u per spec (late-binding closure pitfall)
+            (lambda u: lambda i, j, sel_ref: (
+                sel_ref[i, j * w_per + u], 0, 0
+            ))(u),
+            memory_space=pltpu.VMEM,
+        )
+        for u in range(w_per)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, w_pad // w_per),
+        in_specs=[
+            # full query matrix resident in VMEM (rows read per cell via
+            # dynamic sublane slice — a (1, d) block would violate the
+            # sublane-divisibility rule)
+            pl.BlockSpec(
+                (b, d), lambda i, j, sel_ref: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ] + vec_specs,
+        # one (1, W, L) block per query row, filled w_per j-rows per cell
+        # as the minor grid dim sweeps (the block flushes when i advances)
+        out_specs=pl.BlockSpec(
+            (1, w_pad, length), lambda i, j, sel_ref: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        _make_slab_kernel(w_per),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, w_pad, length), jnp.float32),
+        interpret=interpret,
+    )(sel.astype(jnp.int32), queries, *([list_vecs] * w_per))
+    return out[:, :w] if w_pad != w else out
+
+
+def slab_dots(queries: jax.Array, list_vecs: jax.Array, sel: jax.Array):
+    """Dispatch: compiled on TPU, interpreter elsewhere (tests)."""
+    return slab_dots_pallas(queries, list_vecs, sel, interpret=not _on_tpu())
