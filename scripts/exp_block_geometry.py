@@ -78,42 +78,63 @@ def main():
         np.broadcast_to(q, (REPEATS,) + q.shape).copy()
     )
 
-    for block in (128, 256):
+    import itertools
+
+    spills = tuple(
+        float(s) for s in os.environ.get("SPILLS", "0,0.1,0.2").split(",")
+    )
+    blocks = tuple(
+        int(s) for s in os.environ.get("BLOCKS", "256").split(",")
+    )
+    slabs = tuple(os.environ.get("SLABS", "f32").split(","))
+    for block, spill, slab in itertools.product(blocks, spills, slabs):
         n_blocks = -(-n // block)
         degree = max(4, min(32, n_blocks - 1))
         parts = gops.build_block_graph(
-            jnp.asarray(x), n_blocks, degree, seed=42
+            jnp.asarray(x), n_blocks, degree, seed=42, spill=spill,
+            slab_dtype=slab,
         )
         parts = jax.block_until_ready(parts)
-        entries, entry_block, slot_ids, list_vecs, list_sqn, adj = parts
-        print(f"built block={block} n_blocks={n_blocks} degree={degree}",
-              flush=True)
+        entries, entry_block, slot_ids, list_vecs, list_sqn, adj, mu = parts
+        print(
+            f"built block={block} spill={spill} slab={slab} "
+            f"n_blocks={slot_ids.shape[0]} degree={degree}",
+            flush=True,
+        )
 
-        for efb, expand, iters in (
+        geoms = [
+            (32, 8, 4),
             (32, 8, 6),
             (32, 8, 9),
             (32, 8, 11),
             (32, 8, 14),
             (32, 8, 18),
-            (64, 16, 9),
-            (64, 16, 14),
-        ):
+        ]
+        if os.environ.get("GEOMS"):
+            geoms = [
+                tuple(int(v) for v in g.split(":"))
+                for g in os.environ["GEOMS"].split(",")
+            ]
+        for efb, expand, iters in geoms:
             if expand * iters >= n_blocks:
                 continue
 
-            def fn(qb, arrs, efb=efb, expand=expand, iters=iters):
-                e, eb, sid, lv, lsq, ad = arrs
+            def fn(qb, arrs, efb=efb, expand=expand, iters=iters,
+                   dd=spill > 0):
+                e, eb, sid, lv, lsq, ad, mu = arrs
                 return gops.block_graph_search(
-                    qb, e, eb, sid, lv, lsq, ad, K,
+                    qb, e, eb, sid, lv, lsq, ad, mu, k=K,
                     efb=efb, expand=expand, iters=iters, metric="cosine",
+                    dedup=dd,
                 )
 
             ids, elapsed = timed_stream(fn, queries_r, parts)
             rec = recall(ids, gt)
             qps = REPEATS * B / elapsed
             print(
-                f"block={block} efb={efb} expand={expand} iters={iters} "
-                f"probes={expand * iters} recall={rec:.4f} qps={qps:.0f}",
+                f"block={block} spill={spill} slab={slab} efb={efb} "
+                f"expand={expand} iters={iters} probes={expand * iters} "
+                f"recall={rec:.4f} qps={qps:.0f}",
                 flush=True,
             )
 

@@ -353,3 +353,40 @@ class TestGraphStreamBuild:
             recs.append(recall_at_k(gt, np.asarray(ids), 10))
         assert recs[0] > 0.9
         assert recs[0] >= recs[1] - 0.05
+
+    def test_stream_spill_matches_resident_spill(self, tmp_path):
+        """Spilled streamed build: same layout law as the resident spill
+        (clone count, block_len stability) and duplicate-free search."""
+        import jax.numpy as jnp
+
+        from vectordb_retrieval_tpu.bench.metrics import recall_at_k
+        from vectordb_retrieval_tpu.ops import graph as gops
+
+        rng = np.random.default_rng(13)
+        store, ref = _clustered_store(tmp_path, rng, n=12_000)
+        n_blocks, degree = 96, 16
+        parts_s = gops.build_block_graph_stream(
+            store, n_blocks, degree, seed=7, chunk_rows=3_000, spill=0.15
+        )
+        parts_r = gops.build_block_graph(
+            jnp.asarray(ref), n_blocks, degree, seed=7, spill=0.15
+        )
+        # same layout LAW (training samples differ, so ids differ): the
+        # clone count and block_len match the resident build exactly
+        assert parts_s[2].shape == parts_r[2].shape  # [Nb, L] incl. clones
+        # every clone is a duplicate id: n_ext - n distinct slots
+        sn = np.asarray(parts_s[2])
+        valid = sn[sn >= 0]
+        assert valid.size - np.unique(valid).size == int(0.15 * ref.shape[0])
+        qi = rng.choice(ref.shape[0], 32, replace=False)
+        q = ref[qi] + rng.standard_normal((32, 16)).astype(np.float32) * 0.05
+        full = ((q[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
+        gt = np.argsort(full, axis=1)[:, :10]
+        _, ids = gops.block_graph_search(
+            jnp.asarray(q), *parts_s, 10, efb=128, dedup=True
+        )
+        ids = np.asarray(ids)
+        for r in range(ids.shape[0]):
+            got = [i for i in ids[r].tolist() if i >= 0]
+            assert len(got) == len(set(got))
+        assert recall_at_k(gt, ids, 10) > 0.9

@@ -170,6 +170,101 @@ def test_block_mode_recall_and_memory_parity(rng):
         assert len(got) == len(set(got))
 
 
+def test_block_mode_spill_dedup_and_recall(rng):
+    """Spilled layouts must return duplicate-free ids and never lose
+    recall vs the unspilled build at a tight probe budget."""
+    import jax.numpy as jnp
+
+    from vectordb_retrieval_tpu.ops import distances as dops
+
+    x, q = _clustered(rng, n=60_000, d=32, nq=48)
+    gt = np.asarray(dops.exact_search(jnp.asarray(q), jnp.asarray(x), 10)[1])
+
+    def run(spill):
+        algo = CompositeAlgorithm(
+            dimension=x.shape[1],
+            indexer={
+                "type": "GraphIndexer", "M": 16, "mode": "block",
+                "spill": spill,
+            },
+            # tight budget so routing misses are visible
+            searcher={"type": "ANNSearcher", "efSearch": 24},
+            metric="l2",
+        )
+        algo.build_index(x)
+        if spill > 0:
+            assert algo.artifact.metadata["spill"] == spill
+            # clones add blocks: layout grew but block_len is unchanged
+            assert algo.artifact.metadata["block_len"] <= 256
+        _, ids = algo.batch_search(q, 10)
+        for r in range(ids.shape[0]):
+            got = [i for i in ids[r].tolist() if i >= 0]
+            assert len(got) == len(set(got)), "duplicate ids after spill"
+        return recall_at_k(gt, ids, 10)
+
+    r0 = run(0.0)
+    r_spill = run(0.2)
+    assert r_spill >= r0 - 0.02  # never materially worse
+
+
+def test_block_mode_bf16_slabs(rng):
+    """bf16 member slabs: half the slab memory at a bounded recall cost,
+    dtype recorded in metadata.
+
+    32d tight clusters are the adversarial case for the bf16 rounding of
+    the stored residuals (neighbour margins comparable to the 2^-9
+    rounding of the intra-block scatter): measured loss here is ~1.5%,
+    the representational ceiling of the encoding (probing more never
+    recovers it). At embedding dims (128/384) the rounding averages out
+    across dims and the measured loss is ~1e-3 — which is why bf16 is an
+    opt-in memory knob (default f32), not the default."""
+    import jax.numpy as jnp
+
+    from vectordb_retrieval_tpu.ops import distances as dops
+
+    x, q = _clustered(rng, n=60_000, d=32, nq=48)
+    gt = np.asarray(dops.exact_search(jnp.asarray(q), jnp.asarray(x), 10)[1])
+
+    def run(slab):
+        algo = CompositeAlgorithm(
+            dimension=x.shape[1],
+            indexer={
+                "type": "GraphIndexer", "M": 16, "mode": "block",
+                "slab_dtype": slab,
+            },
+            searcher={"type": "ANNSearcher", "efSearch": 64},
+            metric="l2",
+        )
+        algo.build_index(x)
+        assert algo.artifact.metadata["slab_dtype"] == (
+            "bfloat16" if slab == "bf16" else "float32"
+        )
+        _, ids = algo.batch_search(q, 10)
+        return recall_at_k(gt, ids, 10), algo.artifact.device_nbytes()
+
+    r32, m32 = run("f32")
+    rbf, mbf = run("bf16")
+    assert rbf >= r32 - 0.02  # adversarial-case representational ceiling
+    assert mbf < 0.6 * m32  # slabs dominate the artifact
+
+
+def test_kmeans_assign2_margin_oracle(rng):
+    import jax.numpy as jnp
+
+    from vectordb_retrieval_tpu.ops.kmeans import kmeans_assign2
+
+    x = rng.standard_normal((500, 8)).astype(np.float32)
+    c = rng.standard_normal((16, 8)).astype(np.float32)
+    a1, a2, margin = kmeans_assign2(jnp.asarray(x), jnp.asarray(c))
+    d = ((x[:, None, :] - c[None]) ** 2).sum(-1)
+    order = np.argsort(d, axis=1)
+    assert np.array_equal(np.asarray(a1), order[:, 0])
+    assert np.array_equal(np.asarray(a2), order[:, 1])
+    want = d[np.arange(500), order[:, 1]] - d[np.arange(500), order[:, 0]]
+    np.testing.assert_allclose(np.asarray(margin), want, rtol=1e-3,
+                               atol=1e-3)
+
+
 def test_block_mode_auto_falls_back_on_structureless_data(rng):
     from vectordb_retrieval_tpu.models.graph import (
         _BLOCK_AUTO_THRESHOLD, GraphIndexer,

@@ -80,19 +80,18 @@ def test_slab_dots_bf16_storage(rng):
             jnp.asarray(sel), interpret=True,
         )
     )
-    # the kernel truncates the query to the slab dtype before the dot
+    # split-query 2-pass: the dot is the FULL f32 query against the
+    # bf16-rounded slabs (query rounding never touches the ranking)
     ref = np.einsum(
         "bwld,bd->bwl",
         np.asarray(
             jnp.asarray(lv, dtype=jnp.bfloat16).astype(jnp.float32)
-        )[sel],
-        np.asarray(
-            jnp.asarray(q, dtype=jnp.bfloat16).astype(jnp.float32)
-        ),
+        )[sel].astype(np.float64),
+        q.astype(np.float64),
     )
     assert out.dtype == np.float32
-    # bf16 inputs, f32 accumulation: only rounding of the products left
-    assert np.max(np.abs(out - ref) / (np.abs(ref) + 1.0)) < 1e-2
+    # two exact bf16 passes with f32 accumulation: ~2^-16 relative error
+    assert np.max(np.abs(out - ref) / (np.abs(ref) + 1.0)) < 1e-3
 
 
 def test_slab_dots_w_padding(rng):

@@ -39,6 +39,13 @@ from vectordb_retrieval_tpu.ops import graph as gops
 # the fast shape
 _BLOCK_AUTO_THRESHOLD = 50_000
 
+# default boundary-spill fraction for block-mode builds (set from the
+# round-3 msmarco-shape sweep; override per-indexer with `spill:`)
+_DEFAULT_SPILL = 0.0
+
+# default member-slab dtype for block-mode builds ("auto" resolution)
+_DEFAULT_SLAB_DTYPE = "f32"
+
 
 @register_indexer("GraphIndexer")
 @register_indexer("HNSWIndexer")
@@ -56,6 +63,8 @@ class GraphIndexer(BaseIndexer):
         nbr_table_dtype: str = "auto",  # auto | bf16 | int8
         mode: str = "auto",  # auto | node | block
         block_size: int = 0,  # block mode: target rows per block (0 = auto)
+        spill: float = -1.0,  # block mode: boundary-row clone fraction (<0 = auto)
+        slab_dtype: str = "auto",  # block mode: f32 | bf16 member slabs
         **params: Any,
     ):
         super().__init__(metric=metric, **params)
@@ -71,6 +80,20 @@ class GraphIndexer(BaseIndexer):
             raise ValueError("mode must be 'auto', 'node' or 'block'")
         self.mode = mode
         self.block_size = int(block_size)
+        # SOAR-style boundary spilling (ops/graph.build_block_graph spill):
+        # cloning the lowest-margin rows into their runner-up block raises
+        # recall-at-fixed-probes (the routed layout's dominant leak) for
+        # `spill` x corpus extra memory. Default measured round 3 at
+        # msmarco shape (scripts/exp_block_geometry.py).
+        self.spill = _DEFAULT_SPILL if spill < 0 else float(spill)
+        if slab_dtype not in ("auto", "f32", "bf16"):
+            raise ValueError("slab_dtype must be 'auto', 'f32' or 'bf16'")
+        # bf16 slabs halve the wave-DMA bytes (the block beam's binding
+        # cost) and the split-query kernel keeps scoring exact w.r.t. the
+        # stored values; the only loss is the bf16 rounding of the stored
+        # vectors themselves (~1e-3 recall at msmarco shape, measured
+        # round 3). auto resolves to the measured default.
+        self.slab_dtype = _DEFAULT_SLAB_DTYPE if slab_dtype == "auto" else slab_dtype
 
     def _block_geom(self, n: int):
         # default 256-row blocks: with the Pallas slab kernel the wave
@@ -87,13 +110,11 @@ class GraphIndexer(BaseIndexer):
         """Memory-parity large-N layout (ops/graph.build_block_graph)."""
         n = x.shape[0]
         n_blocks, degree = self._block_geom(n)
-        (
-            entries, entry_block, slot_ids, list_vecs, list_sqn, adj,
-        ) = gops.build_block_graph(x, n_blocks, degree, seed=self.seed)
-        return self._package_block(
-            (entries, entry_block, slot_ids, list_vecs, list_sqn, adj),
-            dimension, n,
+        parts = gops.build_block_graph(
+            x, n_blocks, degree, seed=self.seed, spill=self.spill,
+            slab_dtype=self.slab_dtype,
         )
+        return self._package_block(parts, dimension, n)
 
     def _build_block_stream(self, store, dimension: int) -> IndexArtifact:
         """Out-of-core block build: memmap/BigStore corpus streamed in two
@@ -104,14 +125,15 @@ class GraphIndexer(BaseIndexer):
         n_blocks, degree = self._block_geom(n)
         parts = gops.build_block_graph_stream(
             store, n_blocks, degree, seed=self.seed,
-            normalize=self.metric == "cosine",
+            normalize=self.metric == "cosine", spill=self.spill,
+            slab_dtype=self.slab_dtype,
         )
         art = self._package_block(parts, dimension, n)
         art.metadata["built_streaming"] = True
         return art
 
     def _package_block(self, parts, dimension: int, n: int) -> IndexArtifact:
-        entries, entry_block, slot_ids, list_vecs, list_sqn, adj = parts
+        entries, entry_block, slot_ids, list_vecs, list_sqn, adj, mu = parts
         data = {
             "entries": entries,
             "entry_block": entry_block,
@@ -120,6 +142,8 @@ class GraphIndexer(BaseIndexer):
             "list_sqnorms": list_sqn,
             "entry_adj": adj,
         }
+        if mu is not None:  # bf16 residual slabs carry f32 block means
+            data["list_mu"] = mu
         return IndexArtifact(
             "graph",
             jax.block_until_ready(data),
@@ -136,6 +160,8 @@ class GraphIndexer(BaseIndexer):
                 "n_blocks": int(slot_ids.shape[0]),
                 "n_entries": int(entries.shape[0]),
                 "block_len": int(slot_ids.shape[1]),
+                "spill": float(self.spill),
+                "slab_dtype": str(list_vecs.dtype),
             },
         )
 
@@ -350,11 +376,13 @@ def graph_artifact_search(
             artifact.data["list_vecs"],
             artifact.data["list_sqnorms"],
             artifact.data["entry_adj"],
-            k,
+            artifact.data.get("list_mu"),
+            k=k,
             efb=efb,
             expand=expand,
             iters=iters,
             metric=metric,
+            dedup=float(meta.get("spill", 0.0)) > 0.0,
         )
     degree = int(meta.get("degree", artifact.data["adjacency"].shape[1]))
     ef, expand, keep, iters = beam_geometry(n, degree, ef_search, k)

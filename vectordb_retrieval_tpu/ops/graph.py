@@ -281,6 +281,30 @@ def build_neighbor_table(
     return table, sqn, None, None
 
 
+def _encode_slabs(list_vecs: jax.Array, mask: jax.Array, slab_dtype: str):
+    """Slab storage encoding: ``(stored, sqn [Nb, L], mu [Nb, d] | None)``.
+
+    bf16 slabs halve the wave-DMA bytes (the block beam's binding cost),
+    but naive bf16 rounding of raw vectors loses ~|x| * 2^-8 per distance
+    — catastrophic when cluster offsets dwarf the neighbour margins
+    (measured 1.0 -> 0.97 recall on a clustered 32d corpus). So bf16
+    slabs store the PER-BLOCK-MEAN RESIDUAL: the f32 mean ``mu`` carries
+    the offset exactly (its dot with the query is one [B, W] f32 term,
+    amortised over the whole L-row slab) and bf16 rounding only touches
+    the residual, whose magnitude is the intra-block scatter. Sqnorms are
+    of the RECONSTRUCTED values ``mu + round(x - mu)`` so the l2
+    expansion stays exact w.r.t. what the MXU actually scores.
+    """
+    if slab_dtype != "bf16":
+        return list_vecs, jnp.sum(list_vecs * list_vecs, axis=-1), None
+    cnt = jnp.maximum(jnp.sum(mask.astype(jnp.float32), axis=1), 1.0)
+    mu = jnp.sum(list_vecs, axis=1) / cnt  # [Nb, d] f32
+    resid = (list_vecs - mu[:, None, :]) * mask
+    stored = resid.astype(jnp.bfloat16)
+    xhat = (mu[:, None, :] + stored.astype(jnp.float32)) * mask
+    return stored, jnp.sum(xhat * xhat, axis=-1), mu
+
+
 def build_block_graph(
     vectors: jax.Array,
     n_blocks: int,
@@ -288,6 +312,8 @@ def build_block_graph(
     seed: int = 42,
     train_iters: int = 12,
     block_cap: int = 1024,
+    spill: float = 0.0,
+    slab_dtype: str = "f32",  # f32 | bf16 (bf16: half the wave-DMA bytes)
 ):
     """Memory-parity graph layout: bucketed corpus + block-level RNG graph.
 
@@ -313,6 +339,7 @@ def build_block_graph(
     from vectordb_retrieval_tpu.ops import ivf as ivfops
     from vectordb_retrieval_tpu.ops.kmeans import (
         kmeans_assign,
+        kmeans_assign2,
         kmeans_fit,
         training_sample,
     )
@@ -327,7 +354,27 @@ def build_block_graph(
     # remote-dispatch floor per chunk, ~30 min at 1M); the chunk bounds
     # the [chunk, n_blocks] distance transient at ~512 MB
     chunk = max(256, min(16_384, (512 << 20) // max(n_blocks * 4, 1)))
-    assign = np.asarray(kmeans_assign(vectors, centroids, chunk=chunk))
+    if spill > 0.0 and n_blocks >= 2:
+        a1, a2, margin = kmeans_assign2(vectors, centroids, chunk=chunk)
+        assign = np.asarray(a1)
+        # SOAR-style spilled assignment: clone the `spill` fraction of
+        # rows with the smallest (d2 - d1) margin into their runner-up
+        # cluster. Boundary rows are exactly the ones whose true
+        # neighbours live across the partition cut — the dominant recall
+        # leak of any routed layout (probing the winner block misses the
+        # neighbour sitting in the runner-up). Cost: `spill` x corpus
+        # memory + id-level dedup at search (block_graph_search dedup).
+        margin_np = np.asarray(margin)
+        n_spill = int(spill * n)
+        sel = np.argpartition(margin_np, n_spill - 1)[:n_spill]
+        row_of = np.concatenate(
+            [np.arange(n, dtype=np.int64), sel.astype(np.int64)]
+        )
+        assign = np.concatenate([assign, np.asarray(a2)[sel]])
+    else:
+        assign = np.asarray(kmeans_assign(vectors, centroids, chunk=chunk))
+        row_of = np.arange(n, dtype=np.int64)
+    n_ext = row_of.shape[0]
     # ZERO-padding layout: cluster-sort the corpus and chop into EXACT
     # fixed-size blocks (only the final block carries pad slots). The IVF
     # bucketed layout pads every list's last bucket — measured 1.55x
@@ -340,39 +387,42 @@ def build_block_graph(
     # gets two entries, each sitting in its own cluster, so every row
     # stays reachable; probing any entry scores the whole block and the
     # beam dedups by block id.
+    # block_len comes from the PRE-spill count so the slab shape (and the
+    # Pallas tiling rule L % 8) is independent of the spill knob; spilled
+    # clones only add blocks.
     block_len = max(1, -(-n // n_blocks))
-    n_blocks = -(-n // block_len)
-    order = np.argsort(assign, kind="stable").astype(np.int32)
-    pad = n_blocks * block_len - n
+    n_blocks = -(-n_ext // block_len)
+    order = np.argsort(assign, kind="stable").astype(np.int64)
+    pad = n_blocks * block_len - n_ext
     slot_np = np.concatenate(
-        [order, np.full(pad, -1, np.int32)]
+        [row_of[order].astype(np.int32), np.full(pad, -1, np.int32)]
     ).reshape(n_blocks, block_len)
     safe = jnp.asarray(np.where(slot_np >= 0, slot_np, 0))
     mask = (jnp.asarray(slot_np) >= 0)[:, :, None]
     list_vecs = vectors[safe] * mask  # [Nb, L, d] f32 — IS the corpus copy
-    list_sqn = jnp.sum(list_vecs * list_vecs, axis=-1)
     # segments: maximal runs of one cluster within one block
     sorted_assign = assign[order]
-    block_of = np.arange(n) // block_len
-    boundary = np.ones(n, dtype=bool)
+    block_of = np.arange(n_ext) // block_len
+    boundary = np.ones(n_ext, dtype=bool)
     boundary[1:] = (sorted_assign[1:] != sorted_assign[:-1]) | (
         block_of[1:] != block_of[:-1]
     )
-    seg_ids = np.cumsum(boundary) - 1  # [n]
-    n_entries = int(seg_ids[-1]) + 1 if n else 1
+    seg_ids = np.cumsum(boundary) - 1  # [n_ext]
+    n_entries = int(seg_ids[-1]) + 1 if n_ext else 1
     entry_block = jnp.asarray(
         block_of[boundary].astype(np.int32)
     )  # [Ne]
-    flat_sorted = list_vecs.reshape(n_blocks * block_len, d)[:n]
+    flat_sorted = list_vecs.reshape(n_blocks * block_len, d)[:n_ext]
     seg_dev = jnp.asarray(seg_ids.astype(np.int32))
     sums = jax.ops.segment_sum(flat_sorted, seg_dev, num_segments=n_entries)
     cnts = jax.ops.segment_sum(
-        jnp.ones((n,), jnp.float32), seg_dev, num_segments=n_entries
+        jnp.ones((n_ext,), jnp.float32), seg_dev, num_segments=n_entries
     )
     entries = sums / jnp.maximum(cnts, 1.0)[:, None]  # [Ne, d]
     # entry-level RNG graph — exact build is trivial at Ne ~ 1.5 N/L rows
     adj = build_knn_graph(entries, min(degree, entries.shape[0] - 1),
                           method="exact")
+    list_vecs, list_sqn, list_mu = _encode_slabs(list_vecs, mask, slab_dtype)
     return (
         entries,
         entry_block,
@@ -380,6 +430,7 @@ def build_block_graph(
         list_vecs,
         list_sqn,
         adj,
+        list_mu,
     )
 
 
@@ -391,6 +442,8 @@ def build_block_graph_stream(
     train_iters: int = 12,
     normalize: bool = False,
     chunk_rows: int = 262_144,
+    spill: float = 0.0,
+    slab_dtype: str = "f32",
 ):
     """Out-of-core block-graph build (round-2 VERDICT missing #4).
 
@@ -412,7 +465,11 @@ def build_block_graph_stream(
     chip), which this path never materialises.
     """
     from vectordb_retrieval_tpu.data.storage import iter_chunks_any
-    from vectordb_retrieval_tpu.ops.kmeans import kmeans_assign, kmeans_fit
+    from vectordb_retrieval_tpu.ops.kmeans import (
+        kmeans_assign,
+        kmeans_assign2,
+        kmeans_fit,
+    )
 
     n, d = (int(s) for s in store.shape)
     n_blocks = max(1, min(n_blocks, n))
@@ -435,36 +492,75 @@ def build_block_graph_stream(
     )
     del sample
 
-    # pass 1: streamed coarse assignment
+    # pass 1: streamed coarse assignment (top-2 when spilling: the clone
+    # selection needs every row's runner-up cluster and margin)
+    use_spill = spill > 0.0 and n_blocks >= 2
     assign = np.empty(n, dtype=np.int32)
+    assign_b = np.empty(n, dtype=np.int32) if use_spill else None
+    margin = np.empty(n, dtype=np.float32) if use_spill else None
     for start, host in iter_chunks_any(store, chunk_rows):
         stop = start + host.shape[0]
-        assign[start:stop] = np.asarray(kmeans_assign(prep(host), centroids))
+        if use_spill:
+            a1, a2, mg = kmeans_assign2(prep(host), centroids)
+            assign[start:stop] = np.asarray(a1)
+            assign_b[start:stop] = np.asarray(a2)
+            margin[start:stop] = np.asarray(mg)
+        else:
+            assign[start:stop] = np.asarray(
+                kmeans_assign(prep(host), centroids)
+            )
 
-    # layout (identical to the resident build): cluster-sort + exact chop
+    # spilled-clone selection (same rule as the resident build): the
+    # lowest-margin rows are duplicated into their runner-up cluster
+    if use_spill:
+        n_spill = int(spill * n)
+        sel = np.argpartition(margin, max(n_spill - 1, 0))[:n_spill]
+        row_of = np.concatenate(
+            [np.arange(n, dtype=np.int64), sel.astype(np.int64)]
+        )
+        assign_ext = np.concatenate([assign, assign_b[sel]])
+    else:
+        n_spill = 0
+        sel = np.empty(0, dtype=np.int64)
+        row_of = np.arange(n, dtype=np.int64)
+        assign_ext = assign
+    n_ext = row_of.shape[0]
+
+    # layout (identical to the resident build): cluster-sort + exact chop;
+    # block_len from the PRE-spill count so the slab shape is spill-stable
     block_len = max(1, -(-n // n_blocks))
-    n_blocks = -(-n // block_len)
-    order = np.argsort(assign, kind="stable").astype(np.int64)
-    rank = np.empty(n, dtype=np.int32)
-    rank[order] = np.arange(n, dtype=np.int32)
-    pad = n_blocks * block_len - n
+    n_blocks = -(-n_ext // block_len)
+    order = np.argsort(assign_ext, kind="stable").astype(np.int64)
+    rank = np.empty(n_ext, dtype=np.int32)  # ext index -> sorted slot
+    rank[order] = np.arange(n_ext, dtype=np.int32)
+    pad = n_blocks * block_len - n_ext
     slot_np = np.concatenate(
-        [order.astype(np.int32), np.full(pad, -1, np.int32)]
+        [row_of[order].astype(np.int32), np.full(pad, -1, np.int32)]
     ).reshape(n_blocks, block_len)
-    sorted_assign = assign[order]
-    block_of = (np.arange(n) // block_len).astype(np.int64)
-    boundary = np.ones(n, dtype=bool)
+    sorted_assign = assign_ext[order]
+    block_of = (np.arange(n_ext) // block_len).astype(np.int64)
+    boundary = np.ones(n_ext, dtype=bool)
     boundary[1:] = (sorted_assign[1:] != sorted_assign[:-1]) | (
         block_of[1:] != block_of[:-1]
     )
     seg_ids = np.cumsum(boundary) - 1  # segment id per SORTED position
-    n_entries = int(seg_ids[-1]) + 1 if n else 1
+    n_entries = int(seg_ids[-1]) + 1 if n_ext else 1
     entry_block = jnp.asarray(block_of[boundary].astype(np.int32))
-    seg_of_row = np.empty(n, dtype=np.int32)
-    seg_of_row[order] = seg_ids.astype(np.int32)
+    seg_of_ext = np.empty(n_ext, dtype=np.int32)
+    seg_of_ext[order] = seg_ids.astype(np.int32)
+    # per ORIGINAL row: its clone's slot/segment (or sentinel when unspilled)
+    n_slots = n_blocks * block_len
+    clone_slot = np.full(n, n_slots, dtype=np.int32)  # trash slot
+    clone_seg = np.full(n, n_entries, dtype=np.int32)  # trash segment
+    if n_spill:
+        clone_slot[sel] = rank[n + np.arange(n_spill)]
+        clone_seg[sel] = seg_of_ext[n + np.arange(n_spill)]
 
-    # pass 2: scatter rows to their sorted slots + accumulate entry sums
-    buf = jax.jit(lambda: jnp.zeros((n_blocks * block_len, d), jnp.float32))()
+    # pass 2: scatter rows to their sorted slots + accumulate entry sums.
+    # The buffer carries one extra TRASH row (and segment_sum one extra
+    # trash segment) so clone scatters keep a chunk-independent shape:
+    # every row in every chunk scatters twice, non-clones to the trash.
+    buf = jax.jit(lambda: jnp.zeros((n_slots + 1, d), jnp.float32))()
     sums = jnp.zeros((n_entries, d), jnp.float32)
     cnts = jnp.zeros((n_entries,), jnp.float32)
 
@@ -473,13 +569,16 @@ def build_block_graph_stream(
     )
     accum = jax.jit(
         lambda s, c, rows, seg: (
-            s + jax.ops.segment_sum(rows, seg, num_segments=n_entries),
+            s
+            + jax.ops.segment_sum(rows, seg, num_segments=n_entries + 1)[
+                :n_entries
+            ],
             c
             + jax.ops.segment_sum(
                 jnp.ones(rows.shape[:1], jnp.float32),
                 seg,
-                num_segments=n_entries,
-            ),
+                num_segments=n_entries + 1,
+            )[:n_entries],
         ),
         donate_argnums=(0, 1),
         static_argnames=(),
@@ -489,13 +588,22 @@ def build_block_graph_stream(
         stop = start + host.shape[0]
         rows = prep(host)
         buf = scatter(buf, rows, jnp.asarray(rank[start:stop]))
-        sums, cnts = accum(sums, cnts, rows, jnp.asarray(seg_of_row[start:stop]))
+        sums, cnts = accum(
+            sums, cnts, rows,
+            jnp.minimum(jnp.asarray(seg_of_ext[start:stop]), n_entries),
+        )
+        if use_spill:
+            buf = scatter(buf, rows, jnp.asarray(clone_slot[start:stop]))
+            sums, cnts = accum(
+                sums, cnts, rows, jnp.asarray(clone_seg[start:stop])
+            )
         i += 1
         if i % 4 == 0:  # cap in-flight staging chunks
             jax.block_until_ready(buf)
 
-    list_vecs = buf.reshape(n_blocks, block_len, d)  # tail pad rows are 0
-    list_sqn = jnp.sum(list_vecs * list_vecs, axis=-1)
+    list_vecs = buf[:n_slots].reshape(n_blocks, block_len, d)  # pad rows 0
+    mask = (jnp.asarray(slot_np) >= 0)[:, :, None]
+    list_vecs, list_sqn, list_mu = _encode_slabs(list_vecs, mask, slab_dtype)
     entries = sums / jnp.maximum(cnts, 1.0)[:, None]
     adj = build_knn_graph(entries, min(degree, entries.shape[0] - 1),
                           method="exact")
@@ -506,26 +614,29 @@ def build_block_graph_stream(
         list_vecs,
         list_sqn,
         adj,
+        list_mu,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "efb", "expand", "iters", "metric"),
+    static_argnames=("k", "efb", "expand", "iters", "metric", "dedup"),
 )
 def block_graph_search(
     queries: jax.Array,
     entries: jax.Array,  # [Ne, d] router entries (segment means)
     entry_block: jax.Array,  # [Ne] entry -> block map
     slot_ids: jax.Array,  # [Nb, L] member row ids (-1 pad)
-    list_vecs: jax.Array,  # [Nb, L, d] f32 member slabs (the corpus)
+    list_vecs: jax.Array,  # [Nb, L, d] f32 slabs | bf16 residual slabs
     list_sqn: jax.Array,  # [Nb, L]
     entry_adj: jax.Array,  # [Ne, R] entry graph
-    k: int,
+    list_mu: jax.Array | None = None,  # [Nb, d] f32 block means (bf16 slabs)
+    k: int = 10,
     efb: int = 32,  # frontier width
     expand: int = 8,  # blocks probed per iteration
     iters: int = 8,  # probe budget = expand * iters
     metric: str = "l2",
+    dedup: bool = False,  # spilled layouts: id-level dedup of the top-k
 ) -> Tuple[jax.Array, jax.Array]:
     """Beam over router entries; returns exact f32 ``(dists, ids) [B, k]``.
 
@@ -542,6 +653,11 @@ def block_graph_search(
     append-only per-iteration slab, so no block is ever probed twice and
     the row top-k stays duplicate-free.
     """
+    if list_mu is not None and getattr(list_mu, "ndim", 0) != 2:
+        raise TypeError(
+            "list_mu must be a [Nb, d] array or None (did a positional `k` "
+            "land here? build_block_graph now returns a 7-tuple incl. mu)"
+        )
     b, dim = queries.shape
     ne = entries.shape[0]
     efb = min(efb, ne)
@@ -561,7 +677,11 @@ def block_graph_search(
     stri = jnp.tril(jnp.ones((efb, efb), dtype=jnp.bool_), k=-1)
     sdup = jnp.any(seq & stri[None], axis=2)
     beam_d = jnp.where(sdup, big, seed_d)
-    kk = min(k, slot_ids.shape[0] * slot_ids.shape[1])
+    # spilled layouts clone boundary rows into a second block, so a row id
+    # can appear twice among the candidates; running the merge at 2k and
+    # deduplicating at the end guarantees k unique ids (each id has at
+    # most one clone, so any 2k slots hold >= k distinct ids)
+    kk = min(2 * k if dedup else k, slot_ids.shape[0] * slot_ids.shape[1])
     rk_d = jnp.full((b, kk), big, jnp.float32)
     rk_i = jnp.full((b, kk), -1, jnp.int32)
     visited = jnp.full((b, expand * iters), -1, jnp.int32)  # block ids
@@ -604,6 +724,14 @@ def block_graph_search(
 
             safe_blk = jnp.where(sel_blocks >= 0, sel_blocks, 0)
             dots = pk.slab_dots(queries, list_vecs, safe_blk)  # [B, W, L]
+            if list_mu is not None:
+                # mean-centred slabs: add the exact f32 block-mean term,
+                # one [B, W] dot amortised over the whole L-row slab
+                mu_dot = jnp.einsum(
+                    "bwd,bd->bw", list_mu[safe_blk], queries,
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                dots = dots + mu_dot[:, :, None]
             ids = jnp.where(
                 (sel_blocks >= 0)[:, :, None], slot_ids[safe_blk], -1
             ).reshape(b, expand * L)
@@ -645,9 +773,15 @@ def block_graph_search(
                     (blocks >= 0)[:, :, None], slot_ids[safe_blk], -1
                 ).reshape(b, wsub * L)
                 dots = jnp.einsum(
-                    "bwld,bd->bwl", vecs, queries,
+                    "bwld,bd->bwl", vecs.astype(jnp.float32), queries,
                     preferred_element_type=jnp.float32, precision=prec,
                 )
+                if list_mu is not None:
+                    mu_dot = jnp.einsum(
+                        "bwd,bd->bw", list_mu[safe_blk], queries,
+                        preferred_element_type=jnp.float32, precision=prec,
+                    )
+                    dots = dots + mu_dot[:, :, None]
                 if metric == "l2":
                     dist = (
                         qn[:, None, None] + list_sqn[safe_blk] - 2.0 * dots
@@ -703,6 +837,17 @@ def block_graph_search(
         (beam_ids, beam_blk, beam_d, rk_d, rk_i, visited),
         jnp.arange(iters, dtype=jnp.int32),
     )
+    if dedup:
+        # clone copies of a row score identically (same stored values, same
+        # exact dot), so every duplicate pair is present in full; keep the
+        # first occurrence (distance-sorted order) and re-select k.
+        ieq = rk_i[:, :, None] == rk_i[:, None, :]  # [B, kk, kk]
+        ltri = jnp.tril(jnp.ones((kk, kk), dtype=jnp.bool_), k=-1)
+        is_dup = jnp.any(ieq & ltri[None], axis=2) & (rk_i >= 0)
+        rk_d = jnp.where(is_dup, big, rk_d)
+        out_k = min(k, kk)
+        nd, sel = dops.top_k_smallest(rk_d, out_k)
+        return nd, jnp.take_along_axis(rk_i, sel, axis=1)
     return rk_d, rk_i
 
 

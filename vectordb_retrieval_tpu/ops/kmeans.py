@@ -137,6 +137,39 @@ def kmeans_assign(
     return assigns.reshape(-1)[:n]
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def kmeans_assign2(
+    x: jax.Array, centroids: jax.Array, chunk: int = _CHUNK
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Two nearest centroids per row: ``(a1 [n], a2 [n], margin [n])``.
+
+    ``margin = d2 - d1`` (squared-L2 gap between the runner-up and the
+    winner). Used by the block-graph's spilled assignment (ops/graph.
+    build_block_graph ``spill``): rows with the smallest margin sit on a
+    partition boundary and are the ones worth duplicating into their
+    second-nearest block. Chunk-streamed like :func:`kmeans_assign`.
+    """
+    n = x.shape[0]
+    chunks, mask, _ = _pad_chunks(x, min(chunk, max(n, 1)))
+
+    def step(_, inp):
+        xc, _mc = inp
+        dist = _chunk_l2(xc, centroids)
+        nd, ids = jax.lax.top_k(-dist, 2)
+        return None, (
+            ids[:, 0].astype(jnp.int32),
+            ids[:, 1].astype(jnp.int32),
+            (nd[:, 0] - nd[:, 1]).astype(jnp.float32),
+        )
+
+    _, (a1, a2, margin) = jax.lax.scan(step, None, (chunks, mask))
+    return (
+        a1.reshape(-1)[:n],
+        a2.reshape(-1)[:n],
+        margin.reshape(-1)[:n],
+    )
+
+
 def training_sample(
     n: int, k: int, seed: int, max_ppc: int = MAX_POINTS_PER_CENTROID
 ) -> Optional[jax.Array]:

@@ -218,20 +218,36 @@ def _make_slab_kernel(w_per: int):
         q = q_ref[pl.ds(i, 1), :]  # [1, d] — queries stay VMEM-resident
         outs = []
         for r in vec_refs:
-            prec = (
-                jax.lax.Precision.HIGHEST
-                if r.dtype == jnp.float32
-                else jax.lax.Precision.DEFAULT  # bf16 in, f32 accum
-            )
-            outs.append(
-                jax.lax.dot_general(
-                    q.astype(r.dtype),
-                    r[0],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=prec,
+            if r.dtype == jnp.bfloat16:
+                # split-query 2-pass: q = q_hi + q_lo in bf16; each pass is
+                # an exact bf16 x bf16 dot with f32 accumulation, so the sum
+                # recovers the f32-query x bf16-slab product to ~2^-16 —
+                # query rounding never touches the ranking, and the MXU
+                # (not the DMA, which bf16 already halved) absorbs the
+                # second pass
+                q_hi = q.astype(jnp.bfloat16)
+                q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                dot = sum(
+                    jax.lax.dot_general(
+                        part,
+                        r[0],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT,
+                    )
+                    for part in (q_hi, q_lo)
                 )
-            )  # [1, L]
+                outs.append(dot)
+            else:
+                outs.append(
+                    jax.lax.dot_general(
+                        q,
+                        r[0],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                )  # [1, L]
         out_ref[0, pl.ds(j * w_per, w_per), :] = jnp.concatenate(outs, 0)
 
     return kernel

@@ -130,7 +130,7 @@ def build_sharded_block_graph(
             xs = jnp.asarray(x[lo:hi])
             n_blocks = max(1, -(-rows // block_size))
             degree = max(4, min(2 * M, n_blocks - 1)) if n_blocks > 1 else 1
-            entries, entry_block, slot_ids, list_vecs, list_sqn, adj = (
+            entries, entry_block, slot_ids, list_vecs, list_sqn, adj, _ = (
                 gops.build_block_graph(xs, n_blocks, degree, seed=seed + s)
             )
             slot_g = np.asarray(slot_ids)
@@ -208,8 +208,8 @@ def sharded_block_graph_search(
 
     def local(q, ent, eblk, slots, vecs, sqn, adj):
         d, i = gops.block_graph_search(
-            q, ent[0], eblk[0], slots[0], vecs[0], sqn[0], adj[0],
-            eff_k, efb=efb, expand=expand, iters=iters, metric=metric,
+            q, ent[0], eblk[0], slots[0], vecs[0], sqn[0], adj[0], None,
+            k=eff_k, efb=efb, expand=expand, iters=iters, metric=metric,
         )
         d = jnp.where(i >= 0, d, jnp.inf)
         return gather_merge(d, i, axis, eff_k, out_k=out_k)
