@@ -348,9 +348,14 @@ def block_geometry(n_blocks: int, ef_search: int, k: int,
     """
     probes = max(8, min(-(-(ef_search * 64) // max(block_len, 1)),
                         n_blocks))
-    expand = max(4, min(8, probes))
+    # wide waves, few iterations: with the narrowed frontier push and the
+    # full-wave slab-kernel packing (round-3 sweep, msmarco shape), a
+    # 40-slab wave runs ~20% faster than the same probe budget split into
+    # 8-slab waves — per-iteration overhead (frontier merge + masks)
+    # dominates below ~32 slabs/wave
+    expand = max(8, min(40, probes))
     iters = max(1, -(-probes // expand))
-    efb = min(max(4 * expand, 32), n_blocks)
+    efb = min(max(2 * expand, 48), n_blocks)
     return efb, expand, iters
 
 

@@ -36,19 +36,25 @@ from vectordb_retrieval_tpu.ops import distances as dops
 _BUILD_BATCH = 1024
 
 
-def _use_slab_kernel(b: int, length: int, dim: int) -> bool:
+def _use_slab_kernel(b: int, length: int, dim: int, itemsize: int = 4) -> bool:
     """Route the wave probe through the Pallas slab-scan kernel.
 
     Trace-time decision: TPU backend only (tests/CPU keep the XLA gather
-    path — interpret-mode Pallas would be pure overhead there), and the
-    slab must tile cleanly (lanes: d % 128, sublanes: L % 8) so Mosaic
-    DMAs it without relayout padding.
+    path — interpret-mode Pallas would be pure overhead there), the slab
+    must tile cleanly (lanes: d % 128, sublanes: L % 8) so Mosaic DMAs it
+    without relayout padding, and >=8 slabs must fit the kernel's VMEM
+    budget (its 8-aligned w_per packing — pallas_kernels.slab_kernel_ok).
     """
+    from vectordb_retrieval_tpu.ops.pallas_kernels import slab_kernel_ok
+
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except RuntimeError:
         on_tpu = False
-    return on_tpu and dim % 128 == 0 and length % 8 == 0 and b >= 8
+    return (
+        on_tpu and dim % 128 == 0 and length % 8 == 0 and b >= 8
+        and slab_kernel_ok(length, dim, itemsize)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("degree",))
@@ -684,10 +690,14 @@ def block_graph_search(
     kk = min(2 * k if dedup else k, slot_ids.shape[0] * slot_ids.shape[1])
     rk_d = jnp.full((b, kk), big, jnp.float32)
     rk_i = jnp.full((b, kk), -1, jnp.int32)
+    # visited blocks as an append-only per-iteration slab. (A [B, Nb]
+    # bitmap with scatter/gather membership was tried and measured ~15%
+    # SLOWER back-to-back at msmarco shape — TPU scatters through a scan
+    # carry lose to the pairwise-compare masks at these widths.)
     visited = jnp.full((b, expand * iters), -1, jnp.int32)  # block ids
     prec = jax.lax.Precision.HIGH
 
-    def body(state, t):
+    def wave(state, t, do_push):
         beam_ids, beam_blk, beam_d, rk_d, rk_i, visited = state
         # pop the `expand` nearest frontier entries
         _, sel = jax.lax.approx_max_k(-beam_d, expand, recall_target=1.0)
@@ -711,7 +721,7 @@ def block_graph_search(
 
         L = slot_ids.shape[1]
         dim_d = list_vecs.shape[2]
-        if _use_slab_kernel(b, L, dim_d):
+        if _use_slab_kernel(b, L, dim_d, jnp.dtype(list_vecs.dtype).itemsize):
             # Pallas scalar-prefetch slab scan (pallas_kernels.slab_dots):
             # each (query, popped-slot) grid cell DMAs its selected
             # block's contiguous [L, d] slab HBM->VMEM and the MXU
@@ -801,6 +811,9 @@ def block_graph_search(
                     probe, (rk_d, rk_i), jnp.arange(n_sub, dtype=jnp.int32)
                 )
 
+        if not do_push:
+            return (beam_ids, beam_blk, beam_d, rk_d, rk_i, visited)
+
         # push graph neighbours of the popped entries into the frontier
         safe_sel = jnp.where(sel_entries >= 0, sel_entries, 0)
         nbr = jnp.where(
@@ -816,26 +829,47 @@ def block_graph_search(
         in_vis = jnp.any(
             nbr_blk[:, :, None] == visited[:, None, :], axis=2
         )
-        eq = nbr_blk[:, :, None] == nbr_blk[:, None, :]
-        tri = jnp.tril(jnp.ones((c, c), dtype=jnp.bool_), k=-1)
-        dup = jnp.any(eq & tri[None], axis=2)
         ncd = jnp.take_along_axis(cd, jnp.where(nbr >= 0, nbr, 0), axis=1)
         ncd = jnp.where(
-            (nbr >= 0) & ~in_beam & ~in_vis & ~dup, ncd, big
+            (nbr >= 0) & ~in_beam & ~in_vis, ncd, big
         )
-        cat_ids = jnp.concatenate([beam_ids, nbr], axis=1)
-        cat_blk = jnp.concatenate([beam_blk, nbr_blk], axis=1)
-        cat_d = jnp.concatenate([beam_d, ncd], axis=1)
+        # narrow the candidate set BEFORE the O(c^2) block dedup: only the
+        # best efb candidates can enter the efb-wide frontier, so select
+        # 2*efb (headroom for duplicate-block copies) with one amk over
+        # [B, c] and run the pairwise dedup at [B, keep, keep] instead of
+        # [B, c, c] — the c=W*R mask was the push phase's dominant cost at
+        # wide expand (537 MB of bool work per wave at W=32, R=32, B=512).
+        # amk output is value-sorted, so the dedup keeps the BEST copy per
+        # block (the full-width variant kept the first in index order).
+        keep = min(2 * efb, c)
+        nk, kpos = jax.lax.approx_max_k(-ncd, keep, recall_target=1.0)
+        kd = -nk
+        kids = jnp.take_along_axis(nbr, kpos, axis=1)
+        kblk = jnp.take_along_axis(nbr_blk, kpos, axis=1)
+        eq = kblk[:, :, None] == kblk[:, None, :]
+        tri = jnp.tril(jnp.ones((keep, keep), dtype=jnp.bool_), k=-1)
+        dup = jnp.any(eq & tri[None], axis=2)
+        kd = jnp.where(dup, big, kd)
+        cat_ids = jnp.concatenate([beam_ids, kids], axis=1)
+        cat_blk = jnp.concatenate([beam_blk, kblk], axis=1)
+        cat_d = jnp.concatenate([beam_d, kd], axis=1)
         nd, pos = jax.lax.approx_max_k(-cat_d, efb, recall_target=1.0)
         beam_d = -nd
         beam_ids = jnp.take_along_axis(cat_ids, pos, axis=1)
         beam_blk = jnp.take_along_axis(cat_blk, pos, axis=1)
-        return (beam_ids, beam_blk, beam_d, rk_d, rk_i, visited), None
+        return (beam_ids, beam_blk, beam_d, rk_d, rk_i, visited)
 
-    (beam_ids, beam_blk, beam_d, rk_d, rk_i, visited), _ = jax.lax.scan(
-        body,
-        (beam_ids, beam_blk, beam_d, rk_d, rk_i, visited),
-        jnp.arange(iters, dtype=jnp.int32),
+    state = (beam_ids, beam_blk, beam_d, rk_d, rk_i, visited)
+    if iters > 1:
+        state, _ = jax.lax.scan(
+            lambda s, t: (wave(s, t, True), None),
+            state,
+            jnp.arange(iters - 1, dtype=jnp.int32),
+        )
+    # final wave: pushed neighbours would never be popped — skip the whole
+    # push phase (its masks + merge are a full iteration's overhead share)
+    (beam_ids, beam_blk, beam_d, rk_d, rk_i, visited) = wave(
+        state, jnp.int32(iters - 1), False
     )
     if dedup:
         # clone copies of a row score identically (same stored values, same

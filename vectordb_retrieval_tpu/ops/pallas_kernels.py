@@ -206,7 +206,23 @@ def blockmin_pallas(
 # slabs x 384d): w_per=8 reaches 459 GB/s effective for 256-row f32
 # slabs vs 230 GB/s one-slab-per-cell — per-cell DMA issue overhead,
 # not bandwidth, is the binding constraint, so fewer/bigger cells win.
-_SLAB_VMEM_BUDGET = 6 << 20
+import os as _os
+
+# Per-grid-cell VMEM copy budget for the slab kernel. 24 MiB lets a full
+# 40-slab wave pack into one grid cell (w_per=40 at msmarco shape) — +23%
+# wave throughput over the 6 MiB/w_per=8 packing at expand=32 (measured
+# round 3); env-overridable for on-hardware tuning without a code edit.
+_SLAB_VMEM_BUDGET = int(_os.environ.get("VRT_SLAB_VMEM_BUDGET", 24 << 20))
+
+
+def slab_cap(length: int, d: int, itemsize: int) -> int:
+    """Slabs fitting the double-buffered VMEM budget per grid cell."""
+    return max(1, _SLAB_VMEM_BUDGET // (2 * length * d * itemsize))
+
+
+def slab_kernel_ok(length: int, d: int, itemsize: int) -> bool:
+    """True when the slab kernel's 8-aligned w_per packing is usable."""
+    return slab_cap(length, d, itemsize) >= 8
 
 
 def _make_slab_kernel(w_per: int):
@@ -271,9 +287,18 @@ def slab_dots_pallas(
     nb, length, _ = list_vecs.shape
     w = sel.shape[1]
     isz = jnp.dtype(list_vecs.dtype).itemsize
-    w_per = int(
-        min(w, max(1, _SLAB_VMEM_BUDGET // (2 * length * d * isz)))
-    )
+    # w_per MUST be a multiple of 8: the kernel stores its w_per j-rows at
+    # sublane offset j * w_per, and Mosaic requires a provably 8-aligned
+    # sublane index (w_per=12 at expand=12 failed to compile). Shapes
+    # where fewer than 8 slabs fit the VMEM budget never route here
+    # (slab_kernel_ok gates the caller).
+    cap = slab_cap(length, d, isz)
+    if cap < 8:
+        raise ValueError(
+            f"slab kernel needs >=8 slabs in VMEM (cap={cap} at "
+            f"L={length} d={d} itemsize={isz}); gate with slab_kernel_ok"
+        )
+    w_per = int(min(-(-w // 8) * 8, (cap // 8) * 8))
     w_pad = -(-w // w_per) * w_per
     if w_pad != w:
         sel = jnp.pad(sel, ((0, 0), (0, w_pad - w)))  # pad slabs -> block 0
