@@ -208,11 +208,13 @@ def blockmin_pallas(
 # not bandwidth, is the binding constraint, so fewer/bigger cells win.
 import os as _os
 
-# Per-grid-cell VMEM copy budget for the slab kernel. 24 MiB lets a full
-# 40-slab wave pack into one grid cell (w_per=40 at msmarco shape) — +23%
-# wave throughput over the 6 MiB/w_per=8 packing at expand=32 (measured
-# round 3); env-overridable for on-hardware tuning without a code edit.
-_SLAB_VMEM_BUDGET = int(_os.environ.get("VRT_SLAB_VMEM_BUDGET", 24 << 20))
+# Per-grid-cell VMEM copy budget for the slab kernel. Whole-wave packing
+# (w_per=40 at msmarco shape) measured +23% wave throughput over the
+# 6 MiB/w_per=8 packing at expand=32 (round 3). 15 MiB is the largest
+# safe value: Mosaic's scoped-vmem stack limit is 16 MiB and the
+# double-buffered copy allocation must fit under it (w_per=56 = 21 MiB
+# fails AOT compile). Env-overridable for on-hardware tuning.
+_SLAB_VMEM_BUDGET = int(_os.environ.get("VRT_SLAB_VMEM_BUDGET", 15 << 20))
 
 
 def slab_cap(length: int, d: int, itemsize: int) -> int:
@@ -298,7 +300,13 @@ def slab_dots_pallas(
             f"slab kernel needs >=8 slabs in VMEM (cap={cap} at "
             f"L={length} d={d} itemsize={isz}); gate with slab_kernel_ok"
         )
-    w_per = int(min(-(-w // 8) * 8, (cap // 8) * 8))
+    # pick the smallest x8 w_per that still uses the fewest grid cells —
+    # w=48 under cap 40 packs as 2 cells of 24, not 2 cells of 40 (which
+    # would burn 32 padded slabs of DMA+dot per query)
+    cap8 = (cap // 8) * 8
+    n_cells = -(-w // cap8)
+    per_cell = -(-w // n_cells)          # ceil(w / n_cells)
+    w_per = int(min(cap8, -(-per_cell // 8) * 8))  # round up to x8
     w_pad = -(-w // w_per) * w_per
     if w_pad != w:
         sel = jnp.pad(sel, ((0, 0), (0, w_pad - w)))  # pad slabs -> block 0
