@@ -195,7 +195,13 @@ def test_ivf_recall_parity_at_fixed_nprobe_on_skewed_corpus():
     assert art.metadata["probe_cum"][7] > -(
         -8 * art.metadata["n_buckets"] // nlist
     ), "corpus not skewed enough to distinguish average scaling"
-    ours, oracle = [], []
+    # generous 'buckets' semantics: probe set is a SUPERSET of the
+    # reference's top-nprobe lists (slack slots spill to farther lists)
+    searcher_g = ANNSearcher(nprobe=8, nprobe_semantics="buckets")
+    searcher_g.attach(art)
+    _, got_g = searcher_g.batch_search(queries, k)
+
+    ours, ours_g, oracle = [], [], []
     for r in range(queries.shape[0]):
         allowed = set()
         for l in top_lists[r]:
@@ -207,9 +213,20 @@ def test_ivf_recall_parity_at_fixed_nprobe_on_skewed_corpus():
         truth = set(gt_i[r].tolist())
         oracle.append(len(truth & set(oracle_ids.tolist())) / k)
         ours.append(len(truth & set(got[r].tolist())) / k)
-    # our probe set is a SUPERSET of the reference's top-nprobe lists
-    assert np.mean(ours) >= np.mean(oracle) - 1e-9, (
-        f"ours {np.mean(ours):.3f} < reference-semantics {np.mean(oracle):.3f}"
+        ours_g.append(len(truth & set(got_g[r].tolist())) / k)
+        # default 'lists' semantics: every returned row must come from the
+        # top-nprobe lists — the reference's exact probe set
+        # (modular.py:437-441), no spill to farther lists
+        extra = set(int(i) for i in got[r] if i >= 0) - allowed
+        assert not extra, f"query {r} returned rows outside top-8 lists"
+    # ...and within that probe set the scan is exact, so recall == oracle
+    assert abs(np.mean(ours) - np.mean(oracle)) < 1e-9, (
+        f"lists-semantics {np.mean(ours):.3f} != oracle {np.mean(oracle):.3f}"
+    )
+    # generous semantics can only add coverage
+    assert np.mean(ours_g) >= np.mean(oracle) - 1e-9, (
+        f"buckets-semantics {np.mean(ours_g):.3f} < oracle "
+        f"{np.mean(oracle):.3f}"
     )
 
 

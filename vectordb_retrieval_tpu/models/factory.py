@@ -515,6 +515,43 @@ class ANNSearcher(BaseSearcher):
                 nprobe = -(-nprobe * n_buckets // nlist)
         return max(1, min(nprobe, n_buckets or nprobe))
 
+    def _probe_kwargs(self) -> dict:
+        """Exact reference nprobe semantics for bucketed layouts.
+
+        The budget from :meth:`_nprobe` GUARANTEES covering the nprobe
+        nearest lists, but its slack slots spill to buckets of farther
+        lists — a recall superset of the reference's ``index.nprobe``
+        lists (reference modular.py:437-441) measured at +0.03 (flat) to
+        +0.10 (pq) on skew-shaped corpora. Default semantics restrict the
+        probe set to the top-nprobe LISTS (ops/ivf.exact_probe_mask) so
+        fixed-nprobe rows compare apples-to-apples; pass
+        ``nprobe_semantics: buckets`` to keep the generous superset (same
+        probe cost — the spare slots are masked, not saved) for
+        frontier-style sweeps where only the recall/QPS tradeoff matters.
+        """
+        meta = self.artifact.metadata
+        nlist = int(meta.get("nlist", 0))
+        n_buckets = int(meta.get("n_buckets", nlist))
+        semantics = str(
+            self.params.get(
+                "nprobe_semantics", meta.get("nprobe_semantics", "lists")
+            )
+        )
+        bl = self.artifact.data.get("bucket_lists")
+        if (
+            semantics != "lists" or not nlist or n_buckets <= nlist
+            or bl is None
+        ):
+            return {}
+        raw = int(
+            self.params.get("nprobe", meta.get("nprobe", 10))
+        )
+        return {
+            "bucket_lists": bl,
+            "nlist": nlist,
+            "nprobe_lists": max(1, min(raw, nlist)),
+        }
+
     def _score_metric(self) -> str:
         metric = self.artifact.metadata.get("metric", self.metric)
         return "ip" if metric in ("ip", "cosine") else "l2"
@@ -560,13 +597,13 @@ class ANNSearcher(BaseSearcher):
             dists, ids = ivfops.ivf_flat_search(
                 q, d["centroids"], d["slot_ids"], d["list_vecs"],
                 d["list_sqnorms"], eff_k, self._nprobe(), metric=metric,
-                full_vectors=d.get("full_vectors"),
+                full_vectors=d.get("full_vectors"), **self._probe_kwargs(),
             )
         elif kind == "ivf_pq":
             dists, ids = ivfops.ivf_pq_search(
                 q, d["centroids"], d["slot_ids"], d["list_codes"],
                 d["list_sqnorms"], d["codebooks"], eff_k, self._nprobe(),
-                metric=metric,
+                metric=metric, **self._probe_kwargs(),
             )
         elif kind == "graph":
             from vectordb_retrieval_tpu.models.graph import graph_artifact_search
@@ -623,7 +660,7 @@ class ANNSearcher(BaseSearcher):
             dists, ids = ivfops.ivf_sq_search(
                 q, d["centroids"], d["slot_ids"], d["list_codes"],
                 d["list_sqnorms"], d["vmin"], d["step"], eff_k, self._nprobe(),
-                metric=metric,
+                metric=metric, **self._probe_kwargs(),
             )
         return dists, ids
 

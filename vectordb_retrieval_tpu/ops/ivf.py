@@ -154,7 +154,50 @@ def probe_budget_cum(bucket_lists: np.ndarray, nlist: int) -> np.ndarray:
 _PROBE_GROUP_BYTES = 384 * 1024 * 1024
 
 
-def _probe_scan(probes, k, score_fn, bucket_len=0, row_bytes=0):
+def exact_probe_mask(
+    queries: jax.Array,
+    coarse: jax.Array,  # [n_bkt, d] DUPLICATED per-bucket centroid table
+    bucket_lists: jax.Array,  # [n_bkt] bucket -> list map
+    nlist: int,
+    nprobe_lists: int,
+    budget: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """FAISS 'probe the nprobe nearest LISTS' probes on the bucketed layout.
+
+    The generous selector (:func:`probe_budget_cum` + top-``budget``
+    buckets) guarantees coverage of the ``nprobe`` nearest lists under any
+    skew, but its slack slots fall to buckets of FARTHER lists — when the
+    probed lists are small the effective coverage can reach ``budget``
+    distinct lists, i.e. a strict superset of the reference semantics
+    (reference modular.py:437-441 sets ``index.nprobe`` = lists). Measured
+    on the msmarco-shape surrogate this superset inflates recall at fixed
+    nprobe (+0.03 ivf_flat, +0.10 ivf_pq), so fixed-nprobe comparisons
+    against the reference were not apples-to-apples.
+
+    This selector restricts to the exact reference semantics: rank LISTS
+    by centroid distance (buckets of one list share its duplicated coarse
+    row, so a segment-min over buckets IS the list distance), keep the
+    ``nprobe_lists`` nearest, and return the nearest ``budget`` buckets of
+    those lists plus a validity mask (a query whose selected lists own
+    fewer than ``budget`` buckets masks the spare slots instead of
+    spilling them to farther lists).
+    """
+    b = queries.shape[0]
+    n_bkt = coarse.shape[0]
+    cd = dops.pairwise_distances(queries, coarse, "l2")  # [B, n_bkt]
+    ld = jax.ops.segment_min(
+        cd.T, bucket_lists, num_segments=nlist
+    ).T  # [B, nlist]
+    _, top_l = dops.top_k_smallest(ld, min(nprobe_lists, nlist))
+    sel = jnp.zeros((b, nlist), jnp.bool_)
+    sel = sel.at[jnp.arange(b)[:, None], top_l].set(True)
+    allowed = jnp.take(sel, bucket_lists, axis=1)  # [B, n_bkt]
+    cdm = jnp.where(allowed, cd, jnp.inf)
+    vals, probes = dops.top_k_smallest(cdm, min(budget, n_bkt))
+    return probes.astype(jnp.int32), jnp.isfinite(vals)
+
+
+def _probe_scan(probes, k, score_fn, bucket_len=0, row_bytes=0, valid=None):
     """Shared nprobe loop: scan over probe GROUPS, merging a running top-k.
 
     ``score_fn(lists [B, G]) -> (dist [B, G*L], ids [B, G*L])`` in
@@ -176,9 +219,9 @@ def _probe_scan(probes, k, score_fn, bucket_len=0, row_bytes=0):
     steps = -(-nprobe // group)
     pad = steps * group - nprobe
     probes_p = jnp.pad(probes, ((0, 0), (0, pad))).reshape(b, steps, group)
-    valid_p = jnp.pad(
-        jnp.ones((b, nprobe), jnp.bool_), ((0, 0), (0, pad))
-    ).reshape(b, steps, group)
+    if valid is None:
+        valid = jnp.ones((b, nprobe), jnp.bool_)
+    valid_p = jnp.pad(valid, ((0, 0), (0, pad))).reshape(b, steps, group)
     init = (
         jnp.full((b, k), jnp.inf, jnp.float32),
         jnp.full((b, k), -1, jnp.int32),
@@ -232,6 +275,7 @@ def _ivf_blockmin(
     k: int,
     w: int = _BLOCKMIN_W,
     slack: int = _BLOCKMIN_SLACK,
+    probe_valid=None,  # [B, nprobe] bool: masked probe slots stay unprobed
 ):
     """IVF search as a masked full-payload stream + blockmin certificate.
 
@@ -271,6 +315,12 @@ def _ivf_blockmin(
         slot_ids, ((0, pad), (0, 0)), constant_values=-1
     ).reshape(nc, chunk, L)
 
+    pv = (
+        jnp.ones(probes.shape, jnp.bool_)
+        if probe_valid is None
+        else probe_valid
+    )
+
     def step(_, inp):
         c_idx, pl, sl = inp
         dist = chunk_score(pl)  # [B, chunk*L]
@@ -278,7 +328,7 @@ def _ivf_blockmin(
         hit = jnp.zeros((b, chunk), dtype=jnp.bool_)
         hit = hit.at[
             jnp.arange(b)[:, None], jnp.clip(local, 0, chunk - 1)
-        ].max(jnp.logical_and(local >= 0, local < chunk))
+        ].max(jnp.logical_and(local >= 0, local < chunk) & pv)
         valid = (sl.reshape(1, chunk * L) >= 0) & jnp.repeat(hit, L, axis=1)
         dist = jnp.where(valid, dist, jnp.inf)
         bm = jnp.min(dist.reshape(b, chunk * L // w, w), axis=-1)
@@ -315,7 +365,9 @@ def _ivf_blockmin(
     return vals, ids
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "metric", "nlist", "nprobe_lists")
+)
 def ivf_flat_search(
     queries: jax.Array,
     centroids: jax.Array,
@@ -326,6 +378,9 @@ def ivf_flat_search(
     nprobe: int,
     metric: str = "l2",
     full_vectors: jax.Array = None,  # f32 rows for the exact rescoring pass
+    bucket_lists: jax.Array = None,  # with nlist/nprobe_lists: exact
+    nlist: int = 0,                  # reference 'probe nprobe LISTS'
+    nprobe_lists: int = 0,           # semantics (exact_probe_mask)
 ) -> Tuple[jax.Array, jax.Array]:
     """IVF-Flat probe scan.
 
@@ -334,7 +389,13 @@ def ivf_flat_search(
     this search — and the final ``k+8`` candidates are rescored exactly
     against the f32 ``full_vectors``, so bf16 noise cannot perturb results.
     """
-    probes = _coarse_probes(queries, centroids, nprobe)
+    pvalid = None
+    if bucket_lists is not None and nprobe_lists and nlist:
+        probes, pvalid = exact_probe_mask(
+            queries, centroids, bucket_lists, nlist, nprobe_lists, nprobe
+        )
+    else:
+        probes = _coarse_probes(queries, centroids, nprobe)
     qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
     compressed = list_vecs.dtype != jnp.float32 and full_vectors is not None
     # the k+8 overfetch is the bf16-noise margin — do not shrink it at
@@ -377,7 +438,7 @@ def ivf_flat_search(
 
         dists, ids = _ivf_blockmin(
             probes, slot_ids, (list_vecs, list_sqnorms),
-            chunk_score, block_rescore, fetch_k,
+            chunk_score, block_rescore, fetch_k, probe_valid=pvalid,
         )
         if compressed:
             cd = dops.rescore(queries, full_vectors, ids, metric)
@@ -414,6 +475,7 @@ def ivf_flat_search(
     dists, ids = _probe_scan(
         probes, fetch_k, score,
         bucket_len=L, row_bytes=list_vecs.shape[-1] * list_vecs.dtype.itemsize,
+        valid=pvalid,
     )
     if compressed:
         cd = dops.rescore(queries, full_vectors, ids, metric)
@@ -450,7 +512,8 @@ def _decode_lists(codes_p, cents_p, codebooks, chunk, L, d):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "nprobe", "metric", "resident_budget", "chunk_budget"
+        "k", "nprobe", "metric", "resident_budget", "chunk_budget",
+        "nlist", "nprobe_lists",
     ),
 )
 def ivf_pq_search(
@@ -465,6 +528,9 @@ def ivf_pq_search(
     metric: str = "l2",
     resident_budget: int = _IVFPQ_RESIDENT_BUDGET,
     chunk_budget: int = _IVFPQ_CHUNK_BUDGET,
+    bucket_lists: jax.Array = None,  # with nlist/nprobe_lists: exact
+    nlist: int = 0,                  # reference 'probe nprobe LISTS'
+    nprobe_lists: int = 0,           # semantics (exact_probe_mask)
 ) -> Tuple[jax.Array, jax.Array]:
     """IVF-PQ with decode-on-read, in one of two transient regimes.
 
@@ -490,7 +556,13 @@ def ivf_pq_search(
     d = centroids.shape[1]
     resident_bytes = n_bkt * L * d * 2
 
-    probes = _coarse_probes(queries, centroids, nprobe)
+    pvalid = None
+    if bucket_lists is not None and nprobe_lists and nlist:
+        probes, pvalid = exact_probe_mask(
+            queries, centroids, bucket_lists, nlist, nprobe_lists, nprobe
+        )
+    else:
+        probes = _coarse_probes(queries, centroids, nprobe)
     qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
     b = queries.shape[0]
 
@@ -538,7 +610,7 @@ def ivf_pq_search(
 
             return _ivf_blockmin(
                 probes, slot_ids, (recon, recon_sqn),
-                chunk_score, block_rescore, k,
+                chunk_score, block_rescore, k, probe_valid=pvalid,
             )
 
         def score(lists):
@@ -556,7 +628,7 @@ def ivf_pq_search(
             return dist.reshape(bq, -1), ids.reshape(bq, -1)
 
         return _probe_scan(
-            probes, k, score, bucket_len=L, row_bytes=d * 2
+            probes, k, score, bucket_len=L, row_bytes=d * 2, valid=pvalid,
         )
 
     # --- streaming masked scan (bounded transient) ---
@@ -578,6 +650,8 @@ def ivf_pq_search(
         jnp.full((b, k), -1, jnp.int32),
     )
 
+    pv = jnp.ones(probes.shape, jnp.bool_) if pvalid is None else pvalid
+
     def step(carry, inp):
         best_d, best_i = carry
         c_idx, cc, cl, cs = inp
@@ -588,7 +662,7 @@ def ivf_pq_search(
         hit = jnp.zeros((b, chunk), dtype=jnp.bool_)
         hit = hit.at[
             jnp.arange(b)[:, None], jnp.clip(local, 0, chunk - 1)
-        ].max(jnp.logical_and(local >= 0, local < chunk))
+        ].max(jnp.logical_and(local >= 0, local < chunk) & pv)
         dots = jax.lax.dot_general(
             q_bf,
             x_hat.reshape(chunk * L, d),
@@ -617,7 +691,9 @@ def ivf_pq_search(
     return best_d, best_i
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "metric", "nlist", "nprobe_lists")
+)
 def ivf_sq_search(
     queries: jax.Array,
     centroids: jax.Array,
@@ -629,8 +705,17 @@ def ivf_sq_search(
     k: int,
     nprobe: int,
     metric: str = "l2",
+    bucket_lists: jax.Array = None,  # with nlist/nprobe_lists: exact
+    nlist: int = 0,                  # reference 'probe nprobe LISTS'
+    nprobe_lists: int = 0,           # semantics (exact_probe_mask)
 ) -> Tuple[jax.Array, jax.Array]:
-    probes = _coarse_probes(queries, centroids, nprobe)
+    pvalid = None
+    if bucket_lists is not None and nprobe_lists and nlist:
+        probes, pvalid = exact_probe_mask(
+            queries, centroids, bucket_lists, nlist, nprobe_lists, nprobe
+        )
+    else:
+        probes = _coarse_probes(queries, centroids, nprobe)
     qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
     # Affine decode folded into the dot:  q . x_hat = q . vmin + (q*step) . c
     # — the codes go straight into the MXU contraction (uint8 values are
@@ -669,7 +754,7 @@ def ivf_sq_search(
 
         return _ivf_blockmin(
             probes, slot_ids, (list_codes, list_sqnorms),
-            chunk_score, block_rescore, k,
+            chunk_score, block_rescore, k, probe_valid=pvalid,
         )
 
     def score(lists):
@@ -691,4 +776,5 @@ def ivf_sq_search(
     return _probe_scan(
         probes, k, score,
         bucket_len=slot_ids.shape[1], row_bytes=list_codes.shape[-1],
+        valid=pvalid,
     )

@@ -801,7 +801,13 @@ class MutableIVFIndex:
         # probe whole LISTS: the bucket-probe budget is the sum of the npb
         # LARGEST lists' bucket counts (guaranteed top-npb-list coverage
         # under skew, ops/ivf.probe_budget_cum — average scaling let one
-        # giant list consume every probe slot). Quantised UP to a power of
+        # giant list consume every probe slot). Serving keeps the GENEROUS
+        # semantics (slack probe slots spill to next-nearest lists — a
+        # recall superset of 'exactly npb lists'): nprobe here is a
+        # serving-side tuning knob, not a reference-comparison column, so
+        # the extra coverage is free recall; the benchmark-facing
+        # immutable family defaults to the exact reference semantics
+        # (ops/ivf.exact_probe_mask). Quantised UP to a power of
         # two so steady bucket growth does not mint a fresh static jit
         # argument (= a full recompile, tens of seconds on the remote
         # tunnel) per added bucket — extra probes only help recall.
