@@ -41,7 +41,18 @@ TARGETS = {
 K = 20
 
 
+_KNOBS = frozenset({
+    "anisotropy", "child_scale", "point_scale", "query_scale", "zipf",
+    "spectrum_align", "cluster_var", "tail_df", "outlier_frac",
+    "outlier_scale", "n_parents", "children_per_parent", "dim", "seed",
+    "radius_var",
+})
+
+
 def run_setting(n_train: int, algos_filter=None, **opts):
+    unknown = set(opts) - _KNOBS
+    if unknown:  # silently-ignored keys cost a full grid cycle once
+        raise SystemExit(f"unknown surrogate knobs: {sorted(unknown)}")
     from vectordb_retrieval_tpu.bench.metrics import recall_at_k
     from vectordb_retrieval_tpu.data.datasets import Dataset
     from vectordb_retrieval_tpu.models.composite import CompositeAlgorithm

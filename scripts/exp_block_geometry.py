@@ -89,7 +89,9 @@ def main():
     slabs = tuple(os.environ.get("SLABS", "f32").split(","))
     for block, spill, slab in itertools.product(blocks, spills, slabs):
         n_blocks = -(-n // block)
-        degree = max(4, min(32, n_blocks - 1))
+        degree = max(
+            4, min(int(os.environ.get("DEGREE", "32")), n_blocks - 1)
+        )
         parts = gops.build_block_graph(
             jnp.asarray(x), n_blocks, degree, seed=42, spill=spill,
             slab_dtype=slab,

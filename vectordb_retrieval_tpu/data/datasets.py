@@ -24,9 +24,12 @@ import numpy as np
 
 from vectordb_retrieval_tpu.utils.hashing import stable_hash
 
-CACHE_KEY_VERSION = 1
-# v2: L2 ground truth is overfetched + rescored with the cancellation-free
-# diff form (ops/distances.rescore_l2) so ties resolve consistently.
+CACHE_KEY_VERSION = 2
+# The key hashes (name, options, gt_method, version) — generator DEFAULT
+# values are not in it, so default changes MUST bump the version or stale
+# caches silently serve the old distribution.
+# v2: msmarco_surrogate round-3 recalibration (anisotropy 0.45, zipf 0.45,
+# radius_var 0.85, outlier_frac 0.03, outlier_scale 6).
 GROUND_TRUTH_METHOD = "tpu_exact_v2"
 
 
@@ -547,7 +550,19 @@ class Dataset:
         n_train = int(self.options.get("train_limit", 100_000))
         n_test = int(self.options.get("test_size", 200))
         seed = int(self.options.get("seed", 13))
-        alpha = float(self.options.get("anisotropy", 0.6))
+        # Shipped defaults = the round-3 calibration winner (TPU grid,
+        # exact nprobe semantics): identically-configured ivf_flat /
+        # ivf_pq / ivf_sq8 / pq land within max|err| = 0.042 of the
+        # reference's real-MiniLM recalls (0.9529 / 0.6986 / 0.9471 /
+        # 0.7757 — reference benchmark_20260305_070532/
+        # benchmark_summary.md:43-50; measured -0.006 / +0.040 / +0.007 /
+        # -0.042). The residual +-0.04 on the PQ pair is a FAMILY limit:
+        # in any energy-preserving gaussian-mixture surrogate, residual
+        # coding is at least as easy as global coding, so the reference's
+        # pq (0.776) > ivf_pq (0.699) inequality can only be approached,
+        # not reproduced — every knob moves the pair together (grid logs:
+        # scripts/calibrate_msmarco_surrogate.py).
+        alpha = float(self.options.get("anisotropy", 0.45))
         n_parents = int(self.options.get("n_parents", 384))
         children_per = int(self.options.get("children_per_parent", 8))
         child_scale = float(self.options.get("child_scale", 0.9))
@@ -558,7 +573,7 @@ class Dataset:
         # near-duplicates -> vanishing neighbour margins -> flat-PQ recall
         # collapses far below the real-MiniLM level); the calibrated value
         # keeps the skew without the pile-up.
-        zipf = float(self.options.get("zipf", 0.8))
+        zipf = float(self.options.get("zipf", 0.45))
 
         # Degree to which the variance spectrum stays in the NATIVE
         # coordinate basis (0 = fully random-rotated, 1 = axis-aligned).
@@ -585,6 +600,20 @@ class Dataset:
         # pq 0.78 at the otherwise-best setting).
         cluster_var = float(self.options.get("cluster_var", 0.0))
 
+        # Per-cluster RADIUS heterogeneity: each child cluster's scatter
+        # gets one lognormal scale (sigma = radius_var), mean-energy
+        # normalised so the corpus-level scatter budget is unchanged.
+        # Distinct from ``cluster_var`` (per-dimension SHAPE, rms-fixed):
+        # radius spread is the axis that makes residual IVF-PQ
+        # specifically hard — the shared residual codebook's cell size is
+        # set by the GLOBAL residual energy, so tight topics (small
+        # radius, small neighbour margins) get quantised at a spacing
+        # tuned for diffuse ones, scrambling their rankings. Real MiniLM
+        # shows exactly this signature: residual coding (ivf_pq/ivf_sq8 =
+        # 0.738) UNDERPERFORMS global coding (pq = 0.776), which no
+        # energy-preserving shape knob reproduced.
+        radius_var = float(self.options.get("radius_var", 0.85))
+
         # Heavy-tailed point scatter: student-t with ``tail_df`` degrees
         # of freedom (variance-normalised; 0 = gaussian). Quantiser-
         # SELECTIVE difficulty: exact scoring (ivf_flat lists, graph) is
@@ -605,8 +634,8 @@ class Dataset:
         # ~10% of lists probed (ivf_sq8 0.99 at nprobe 48/256 vs the
         # real-MiniLM 0.947), while real embeddings keep paying for more
         # probes. Exact search is unaffected (GT includes strays).
-        outlier_frac = float(self.options.get("outlier_frac", 0.0))
-        outlier_scale = float(self.options.get("outlier_scale", 3.0))
+        outlier_frac = float(self.options.get("outlier_frac", 0.03))
+        outlier_scale = float(self.options.get("outlier_scale", 6.0))
 
         rng = np.random.default_rng(seed)
 
@@ -650,6 +679,12 @@ class Dataset:
             )  # per-cluster energy preserved
         else:
             shapes = np.ones((children.shape[0], d), np.float32)
+        if radius_var:
+            radii = np.exp(
+                radius_var * rng.standard_normal(children.shape[0])
+            ).astype(np.float32)
+            radii /= np.sqrt(np.mean(radii**2))  # corpus energy preserved
+            shapes = shapes * radii[:, None]
         assign = rng.choice(children.shape[0], size=n_train, p=probs)
         point_mult = np.ones((n_train, 1), np.float32)
         if outlier_frac > 0.0:

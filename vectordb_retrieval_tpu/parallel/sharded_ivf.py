@@ -10,6 +10,14 @@ shape to the sharded exact search (parallel/sharded.py).
 
 Slot ids are stored as *global* database row ids at build time, so no id
 translation is needed at merge.
+
+nprobe semantics: each shard probes its ``nprobe``-largest-lists bucket
+budget (ops/ivf.probe_budget_cum) with the GENEROUS spill — slack probe
+slots fall to next-nearest lists. The sharded family is a
+parity-plus capability (the reference has no distributed runtime), not a
+fixed-nprobe reference comparison, so the extra coverage is kept as free
+recall; the single-chip immutable family defaults to the exact
+reference "probe nprobe lists" semantics (ops/ivf.exact_probe_mask).
 """
 
 from __future__ import annotations
