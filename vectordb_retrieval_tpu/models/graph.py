@@ -43,8 +43,10 @@ _BLOCK_AUTO_THRESHOLD = 50_000
 # round-3 msmarco-shape sweep; override per-indexer with `spill:`)
 _DEFAULT_SPILL = 0.0
 
-# default member-slab dtype for block-mode builds ("auto" resolution)
-_DEFAULT_SLAB_DTYPE = "f32"
+# default member-slab dtype for block-mode builds ("auto" resolution):
+# bf16 mean-centred residual slabs halve the wave-DMA bytes (the beam's
+# binding cost) at ~1e-3 recall (round-3 sweeps, msmarco + SIFT shapes)
+_DEFAULT_SLAB_DTYPE = "bf16"
 
 
 @register_indexer("GraphIndexer")
@@ -96,12 +98,15 @@ class GraphIndexer(BaseIndexer):
         self.slab_dtype = _DEFAULT_SLAB_DTYPE if slab_dtype == "auto" else slab_dtype
 
     def _block_geom(self, n: int):
-        # default 256-row blocks: with the Pallas slab kernel the wave
-        # probe is DMA-ISSUE-bound, and 256-row slabs move ~1.5x more
-        # rows/s than 128-row slabs at equal recall-per-row (measured
-        # round 3, msmarco shape; block_geometry's row-budget mapping
-        # keeps recall at a given efSearch independent of this choice)
-        block = self.block_size or 256
+        # default 128-row blocks: on fat-tailed (radius-heterogeneous)
+        # corpora fine blocks are decisively more row-efficient at the
+        # high-recall end (+0.010 recall at equal rows scanned vs 256-row
+        # blocks on the calibrated msmarco surrogate), and the huge-wave
+        # geometry (block_geometry: up-to-96-slab waves, <=2-3
+        # iterations) recovers the per-probe overhead that used to favour
+        # coarse blocks — measured 0.9869 @ 8.3k QPS vs the coarse-block
+        # best of 0.983 @ 6.8k at the same shape
+        block = self.block_size or 128
         n_blocks = max(1, -(-n // block))
         degree = max(4, min(2 * self.M, n_blocks - 1))
         return n_blocks, degree
@@ -338,23 +343,25 @@ def block_geometry(n_blocks: int, ef_search: int, k: int,
     """Block-mode beam geometry ``(efb, expand, iters)``.
 
     efSearch maps to a ROW budget (total member rows scored =
-    ``expand * iters * block_len`` ~= 64 * efSearch): scoring
-    ~64*efSearch rows lands the recall in the same band regardless of
-    block size (measured round 3 at msmarco shape: ~11.3k rows -> 0.967
-    recall at both L=128 and L=256), and at the L=128 reference point
-    this reduces to the round-3 calibration of ~efSearch/2 blocks
-    matching HNSW's recall at the same efSearch (SIFT-shaped surrogate).
-    The frontier ``efb`` only needs headroom over one expansion wave.
+    ``expand * iters * block_len`` ~= 245 * efSearch), calibrated at the
+    msmarco parity point: on the difficulty-calibrated 384d surrogate,
+    efSearch=100 must land the reference's committed hnsw row (recall
+    0.9857 — reference benchmark_summary.md:44, M=16 efSearch=100), and
+    ef*245 rows gives 0.9869 there (round-3 frozen-surrogate sweep,
+    L=128). The row cost per efSearch is ~15x HNSW's (~16 rows/ef):
+    block-granular routing trades row efficiency for contiguous
+    MXU-shaped scans — the TPU side of SURVEY.md section 7 hard-part (b).
+
+    Waves are as wide as the probe budget allows (up to 96 slabs, <=2-3
+    iterations): per-iteration overhead (frontier merge + masks)
+    dominates below ~32 slabs/wave, and the huge-wave split measured
+    0.9869 @ 8.3k QPS vs 0.9890 @ 4.6k for the same rows in 48-slab
+    waves.
     """
-    probes = max(8, min(-(-(ef_search * 64) // max(block_len, 1)),
+    probes = max(8, min(-(-(ef_search * 245) // max(block_len, 1)),
                         n_blocks))
-    # wide waves, few iterations: with the narrowed frontier push and the
-    # full-wave slab-kernel packing (round-3 sweep, msmarco shape), a
-    # 40-slab wave runs ~20% faster than the same probe budget split into
-    # 8-slab waves — per-iteration overhead (frontier merge + masks)
-    # dominates below ~32 slabs/wave
-    expand = max(8, min(40, probes))
-    iters = max(1, -(-probes // expand))
+    iters = max(1, -(-probes // 96))
+    expand = -(-probes // iters)
     efb = min(max(2 * expand, 48), n_blocks)
     return efb, expand, iters
 
