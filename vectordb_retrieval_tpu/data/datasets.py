@@ -24,12 +24,14 @@ import numpy as np
 
 from vectordb_retrieval_tpu.utils.hashing import stable_hash
 
-CACHE_KEY_VERSION = 2
+CACHE_KEY_VERSION = 3
 # The key hashes (name, options, gt_method, version) — generator DEFAULT
 # values are not in it, so default changes MUST bump the version or stale
 # caches silently serve the old distribution.
 # v2: msmarco_surrogate round-3 recalibration (anisotropy 0.45, zipf 0.45,
 # radius_var 0.85, outlier_frac 0.03, outlier_scale 6).
+# v3: glove50_surrogate round-3 recalibration (point_scale 1.7) under
+# exact nprobe semantics + the reverse-edge node graph.
 GROUND_TRUTH_METHOD = "tpu_exact_v2"
 
 
@@ -452,10 +454,12 @@ class Dataset:
         algorithms, configured EXACTLY like the reference's glove50 rows,
         land near the reference's measured recalls
         (scripts/calibrate_glove_surrogate.py). The shipped defaults
-        (anisotropy 0.0, point_scale 1.4, child_scale 1.2) reproduce the
-        reference's five glove50 recall rows within max |err| = 0.012:
-        ivf_flat 0.858 (ref 0.870), ivf_pq 0.911 (0.909), ivf_sq8 0.905
-        (0.911), pq 0.984 (0.982), hnsw 0.963 (0.975) — calibration chose
+        (anisotropy 0.0, point_scale 1.7, child_scale 1.2 —
+        round-3 recalibration under the exact 'probe nprobe lists'
+        semantics and the reverse-edge node graph) reproduce the
+        reference's five glove50 recall rows within max |err| = 0.015:
+        ivf_flat 0.869 (ref 0.870), ivf_pq 0.921 (0.909), ivf_sq8 0.915
+        (0.911), pq 0.985 (0.982), hnsw 0.960 (0.975) — calibration chose
         the flat spectrum: difficulty match beat the anisotropy prior.
         Results on this dataset are labelled surrogate in benchmark
         metadata — they are difficulty-matched, not real-GloVe numbers.
@@ -468,7 +472,7 @@ class Dataset:
         n_parents = int(self.options.get("n_parents", 160))
         children_per = int(self.options.get("children_per_parent", 6))
         child_scale = float(self.options.get("child_scale", 1.2))
-        point_scale = float(self.options.get("point_scale", 1.4))
+        point_scale = float(self.options.get("point_scale", 1.7))
         mean_norm = float(self.options.get("mean_norm", 4.4))
 
         rng = np.random.default_rng(seed)

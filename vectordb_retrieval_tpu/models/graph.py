@@ -67,10 +67,17 @@ class GraphIndexer(BaseIndexer):
         block_size: int = 0,  # block mode: target rows per block (0 = auto)
         spill: float = -1.0,  # block mode: boundary-row clone fraction (<0 = auto)
         slab_dtype: str = "auto",  # block mode: f32 | bf16 member slabs
+        reverse_edges: int = -1,  # node mode: incoming-link slots (<0 = M)
         **params: Any,
     ):
         super().__init__(metric=metric, **params)
         self.M = int(M)
+        # node mode: HNSW inserts links BIDIRECTIONALLY; the RNG-pruned
+        # kNN graph leaves boundary rows with no incoming edge — a hard
+        # recall ceiling (0.930 at any efSearch on the glove-shaped
+        # surrogate) that ops/graph.add_reverse_edges removes (0.961 at
+        # rev=M). -1 resolves to M (half the forward degree 2M).
+        self.reverse_edges = int(M if reverse_edges < 0 else reverse_edges)
         self.efConstruction = int(efConstruction)
         self.efSearch = int(efSearch)
         self.n_entry = int(n_entry)  # 0 = auto (scales with N)
@@ -258,7 +265,9 @@ class GraphIndexer(BaseIndexer):
             # auto + structureless corpus: node-level beam handles it
             del art
         degree = min(2 * self.M, max(n - 1, 1))
-        adjacency = gops.build_knn_graph(x, degree)
+        adjacency = gops.build_knn_graph(
+            x, degree, reverse_edges=self.reverse_edges
+        )
         # coarse-quantizer entries replace HNSW's upper layers; a dense
         # seed (~N/10, capped) lands the beam 1-2 hops from the answers so
         # 3-4 iterations suffice (scripts/exp_beam_table_tune.py)
@@ -275,6 +284,7 @@ class GraphIndexer(BaseIndexer):
         # Plain bf16 *row* gathers of the corpus were tried in round 1 and
         # reverted (sub-32-byte rows hit a gather cliff); table rows are
         # R*d elements, far past the cliff.
+        degree = int(adjacency.shape[1])  # forward + reverse slots
         bf16_mb = n * degree * int(dimension) * 2 / 1e6
         int8_mb = bf16_mb / 2
         dtype = self.nbr_table_dtype

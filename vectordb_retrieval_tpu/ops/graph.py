@@ -158,6 +158,43 @@ def _ivf_candidate_searcher(
     return search, int(slot_np.shape[1])
 
 
+def add_reverse_edges(
+    adjacency: np.ndarray, vectors: jax.Array, rev: int
+) -> np.ndarray:
+    """Append the nearest ``rev`` INCOMING edges per node: ``[N, R+rev]``.
+
+    RNG pruning keeps each node's best outgoing edges, but a boundary row
+    that makes nobody's list has NO incoming edge and is unreachable by
+    any beam walk — measured as a recall CEILING on diffuse corpora
+    (glove-shaped 20k: node beam plateaus at 0.930 at any efSearch;
+    +16 reverse slots lifts the plateau to 0.961). HNSW avoids the hole
+    by inserting links bidirectionally (reference hnsw.py's underlying
+    faiss index); this post-pass restores that property: for every edge
+    i->j, j receives i ranked by edge distance, nearest ``rev`` kept.
+    Duplicates of existing forward edges are left in place (the beam
+    dedups); pad slots are -1 like the forward half.
+    """
+    n, r = adjacency.shape
+    src = np.repeat(np.arange(n, dtype=np.int64), r)
+    dst = adjacency.reshape(-1).astype(np.int64)
+    keep = dst >= 0
+    src, dst = src[keep], dst[keep]
+    d = np.asarray(
+        jnp.sum(
+            (vectors[jnp.asarray(src)] - vectors[jnp.asarray(dst)]) ** 2,
+            axis=1,
+        )
+    )
+    order = np.lexsort((d, dst))  # group by dst, nearest first
+    dst_s, src_s = dst[order], src[order]
+    first = np.searchsorted(dst_s, np.arange(n))
+    pos = np.arange(dst_s.shape[0]) - first[dst_s]  # rank within group
+    sel = pos < rev
+    extra = np.full((n, rev), -1, np.int32)
+    extra[dst_s[sel], pos[sel]] = src_s[sel]
+    return np.concatenate([adjacency, extra], axis=1)
+
+
 def build_knn_graph(
     vectors: jax.Array,
     degree: int,
@@ -167,12 +204,15 @@ def build_knn_graph(
     method: str = "auto",  # auto | exact | ivf
     build_nprobe: int = 64,
     build_nlist: int = 0,
+    reverse_edges: int = 0,  # extra slots for nearest INCOMING edges
 ) -> jax.Array:
-    """Candidate kNN + RNG-pruned adjacency ``[N, R] int32``.
+    """Candidate kNN + RNG-pruned adjacency ``[N, R(+rev)] int32``.
 
     Candidates come from the exact MXU scan, or (``method='ivf'``, auto
     above ``_IVF_BUILD_THRESHOLD`` rows) from the IVF-probe approximate
     scan that makes million-row builds take seconds instead of minutes.
+    ``reverse_edges`` appends bidirectional links (add_reverse_edges) —
+    the reachability property HNSW gets from insertion-time link-backs.
     """
     n = vectors.shape[0]
     degree = min(degree, n - 1)
@@ -247,7 +287,10 @@ def build_knn_graph(
             rows.append(np.asarray(pruned)[overlap:])
         else:
             rows.append(ids[overlap:, :degree].astype(np.int32))
-    return jnp.asarray(np.concatenate(rows, axis=0).astype(np.int32))
+    adj_np = np.concatenate(rows, axis=0).astype(np.int32)
+    if reverse_edges > 0:
+        adj_np = add_reverse_edges(adj_np, vectors, reverse_edges)
+    return jnp.asarray(adj_np)
 
 
 def build_neighbor_table(
