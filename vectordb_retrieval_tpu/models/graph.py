@@ -115,7 +115,13 @@ class GraphIndexer(BaseIndexer):
         # best of 0.983 @ 6.8k at the same shape
         block = self.block_size or 128
         n_blocks = max(1, -(-n // block))
-        degree = max(4, min(2 * self.M, n_blocks - 1))
+        # entry-graph degree 8: the push's adjacency/blocks/cd gathers
+        # scale with W*R, and with 96-slab waves a degree-8 graph already
+        # offers 768 candidates to refill a 192-slot frontier — recall is
+        # FLAT from degree 8 to 32 at msmarco shape while QPS rises
+        # 8.4k -> 13.0k (degree sweep, round 3). The node-mode beam keeps
+        # its 2M degree (its per-pop fan-out IS the search's row budget).
+        degree = max(4, min(8, n_blocks - 1))
         return n_blocks, degree
 
     def _build_block(self, x: jax.Array, dimension: int) -> IndexArtifact:
