@@ -29,6 +29,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from vectordb_retrieval_tpu.ops.distances import top_k_smallest
 
 
 class CoverTreeSearchResult(NamedTuple):
@@ -105,8 +106,11 @@ def covertree_search(
         fd = jnp.where(alive, fd, inf)
         fids = jnp.where(alive, fids, -1)
 
-        # pick E closest frontier nodes to expand
-        neg, sel = jax.lax.top_k(-fd, expand)  # [B, E] positions
+        # pick E closest frontier nodes to expand (top_k_smallest =
+        # approx_max_k at recall 1.0, bit-exact; measured neutral here —
+        # the descent is bound by its scattered node/vector gathers, not
+        # selection — but keeps the selection idiom uniform repo-wide)
+        _, sel = top_k_smallest(fd, expand)  # [B, E] positions
         sel_ids = jnp.take_along_axis(fids, sel, axis=1)
         # remove them from the frontier
         fids = fids.at[jnp.arange(b)[:, None], sel].set(
@@ -131,8 +135,7 @@ def covertree_search(
         score_pts = jnp.where(kid_real, point_ids[jnp.where(kid_ids >= 0, kid_ids, 0)], -1)
         cat_d = jnp.concatenate([best_d, score_d], axis=1)
         cat_i = jnp.concatenate([best_i, score_pts], axis=1)
-        nb, pos = jax.lax.top_k(-cat_d, k)
-        best_d = -nb
+        best_d, pos = top_k_smallest(cat_d, k)
         best_i = jnp.take_along_axis(cat_i, pos, axis=1)
         kth = best_d[:, k - 1]
 
@@ -151,8 +154,7 @@ def covertree_search(
         m_i = jnp.concatenate([fids, kid_keep_i], axis=1)
         valid_count = jnp.sum(jnp.isfinite(m_d), axis=1)
         overflow = overflow | (valid_count > f_max)
-        nfd, pos = jax.lax.top_k(-m_d, f_max)
-        fd = -nfd
+        fd, pos = top_k_smallest(m_d, f_max)
         fids = jnp.take_along_axis(m_i, pos, axis=1)
         fids = jnp.where(jnp.isfinite(fd), fids, -1)
 
