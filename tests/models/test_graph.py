@@ -309,3 +309,47 @@ def test_block_mode_persistence_roundtrip(tmp_path, rng):
     algo2.load_index(str(tmp_path / "g"), {"dataset_fingerprint": "f"})
     d1, i1 = algo2.batch_search(q, 5)
     assert np.array_equal(i0, i1)
+
+
+def test_reverse_edges_restore_reachability(rng):
+    """An orphan row (nobody's RNG neighbour) is unreachable by any beam
+    budget on the forward graph; reverse edges restore the incoming link.
+    (The production symptom: a recall plateau at any efSearch.)"""
+    import jax.numpy as jnp
+
+    from vectordb_retrieval_tpu.ops.graph import add_reverse_edges
+
+    # adjacency where row 3 has outgoing edges but NO incoming edge
+    adj = np.array(
+        [[1, 2], [0, 2], [0, 1], [0, 1]], dtype=np.int32
+    )
+    x = jnp.asarray(
+        np.array([[0.0, 0], [1, 0], [0, 1], [5, 5]], dtype=np.float32)
+    )
+    assert 3 not in adj[:3]  # orphan precondition
+    aug = add_reverse_edges(adj, x, rev=3)
+    assert aug.shape == (4, 5)
+    # row 3's outgoing targets now link back to it (rev must cover the
+    # in-degree: with rev < in-degree the FARTHEST incoming source — the
+    # orphan — is correctly the one dropped)
+    assert 3 in aug[0] and 3 in aug[1]
+    # nearest-first: the orphan sits in the LAST kept incoming slot
+    assert aug[0, 2 + 2] == 3 and aug[1, 2 + 2] == 3
+    # reverse slots are -1 padded where absent
+    assert set(aug[3, 2:].tolist()) <= {0, 1, -1}
+    aug2 = add_reverse_edges(adj, x, rev=2)
+    assert 3 not in aug2[0] and 3 not in aug2[1]  # farthest loses the slots
+
+
+def test_block_geometry_mapping_anchors():
+    """The efSearch -> geometry mapping's calibrated anchors: ef=100 at
+    L=128 is the msmarco parity point (96-slab waves, 2 iterations) and
+    probes never exceed the block count."""
+    from vectordb_retrieval_tpu.models.graph import block_geometry
+
+    efb, expand, iters = block_geometry(782, 100, 20, block_len=128)
+    assert (expand, iters) == (96, 2)
+    assert efb >= 2 * expand
+    # small-N cap: probes clamp at n_blocks
+    efb, expand, iters = block_geometry(40, 400, 10, block_len=128)
+    assert expand * iters <= 40 + expand  # one wave of slack at most

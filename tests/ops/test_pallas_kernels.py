@@ -113,3 +113,29 @@ def test_slab_dots_w_padding(rng):
     )
     assert out.shape == (b, w, length)
     assert np.max(np.abs(out - ref)) < 1e-3
+
+
+def test_slab_cell_packing_rules():
+    """w_per must be a multiple of 8 (Mosaic sublane-store alignment) and
+    cells should pack without padding waste: 48 slabs under a 40-slab cap
+    is 2 cells of 24, not 2 cells of 40 with 32 junk slabs."""
+    from vectordb_retrieval_tpu.ops import pallas_kernels as pk
+
+    def pack(w, cap):
+        cap8 = (cap // 8) * 8
+        n_cells = -(-w // cap8)
+        per_cell = -(-w // n_cells)
+        w_per = min(cap8, -(-per_cell // 8) * 8)
+        return w_per, -(-w // w_per) * w_per
+
+    for w in (8, 12, 16, 24, 40, 48, 96):
+        for cap in (16, 40, 80):
+            w_per, w_pad = pack(w, cap)
+            assert w_per % 8 == 0
+            assert w_pad >= w
+            assert w_per <= max(8, (cap // 8) * 8)
+    # the specific regression: 48 under cap 40 -> 24-slab cells, no waste
+    assert pack(48, 40) == (24, 48)
+    # gate: shapes with <8 slabs in VMEM never route to the kernel
+    assert not pk.slab_kernel_ok(1024, 384, 4)
+    assert pk.slab_kernel_ok(128, 384, 2)
