@@ -462,3 +462,53 @@ def test_churn_fuzz_large_scale(rng):
         )
         assert all(int(i) in live for row in got for i in row if i >= 0)
     assert idx.n_active == len(live)
+
+
+def test_mutable_ivf_load_add_preserves_live_rows(tmp_path, rng):
+    """Review round-3 CONFIRMED bug: load() restored _fill as the per-bucket
+    LIVE count instead of the append watermark, so with an interior
+    tombstone in the snapshot the first add() after load scattered into an
+    OCCUPIED top slot — silently replacing a live row whose _id_loc entry
+    still pointed there. fill must restore as watermark and interior
+    tombstones must land on the free lists (reused, counted as dead)."""
+    from vectordb_retrieval_tpu.serving import MutableIVFIndex
+
+    d = 8
+    x = rng.standard_normal((256, d)).astype(np.float32)
+    idx = MutableIVFIndex(x, nlist=4, nprobe=4)
+    # interior tombstone: delete an id whose slot sits BELOW its bucket's
+    # watermark (any early id qualifies — slots fill in insertion order)
+    assert idx.delete([3]) == 1
+    idx.save(str(tmp_path / "mi"))
+    idx2 = MutableIVFIndex.load(str(tmp_path / "mi"))
+    assert idx2._n_dead == 1  # interior tombstone visible post-load
+
+    new_rows = rng.standard_normal((16, d)).astype(np.float32)
+    new_ids = idx2.add(new_rows)
+    # every pre-existing live id must still resolve to ITS OWN vector
+    q = x[np.array([0, 1, 2, 10, 100, 255])]
+    _, got = idx2.search(q, 1)
+    np.testing.assert_array_equal(
+        got[:, 0], np.array([0, 1, 2, 10, 100, 255])
+    )
+    # and the new rows are searchable under their returned handles
+    _, got_new = idx2.search(new_rows[:4], 1)
+    np.testing.assert_array_equal(got_new[:, 0], new_ids[:4])
+    assert idx2.n_active == 256 - 1 + 16
+
+
+def test_mutable_ivf_churn_does_not_inflate_dead_count(rng):
+    """Review round-3: add() reusing a freed slot must decrement _n_dead,
+    else steady delete/add churn triggers spurious full compactions."""
+    from vectordb_retrieval_tpu.serving import MutableIVFIndex
+
+    d = 8
+    x = rng.standard_normal((512, d)).astype(np.float32)
+    idx = MutableIVFIndex(x, nlist=4, nprobe=4)
+    for i in range(64):
+        victim = idx.search(x[i : i + 1], 1)[1][0, 0]
+        assert idx.delete([int(victim)]) == 1
+        # re-adding the same vector assigns to the same list -> the freed
+        # slot is reused, so the dead count must return to zero
+        idx.add(x[i : i + 1])
+        assert idx._n_dead == 0, f"step {i}: dead={idx._n_dead}"

@@ -199,12 +199,9 @@ class GraphIndexer(BaseIndexer):
         _, got = graph_artifact_search(
             artifact, sample, 10, metric, self.efSearch
         )
-        gt, got = np.asarray(gt), np.asarray(got)
-        hits = sum(
-            len(set(gt[r].tolist()) & set(got[r].tolist()))
-            for r in range(gt.shape[0])
-        )
-        return hits / gt.size
+        from vectordb_retrieval_tpu.bench.metrics import recall_at_k
+
+        return float(recall_at_k(np.asarray(gt), np.asarray(got), 10))
 
     def _selfcheck_stream(self, artifact: IndexArtifact, store) -> float:
         """Out-of-core variant of _block_selfcheck: sample rows + streamed
@@ -229,12 +226,9 @@ class GraphIndexer(BaseIndexer):
         _, got = graph_artifact_search(
             artifact, jnp.asarray(sample), 10, metric, self.efSearch
         )
-        gt, got = np.asarray(gt), np.asarray(got)
-        hits = sum(
-            len(set(gt[r].tolist()) & set(got[r].tolist()))
-            for r in range(gt.shape[0])
-        )
-        return hits / gt.size
+        from vectordb_retrieval_tpu.bench.metrics import recall_at_k
+
+        return float(recall_at_k(np.asarray(gt), np.asarray(got), 10))
 
     def build(self, vectors: np.ndarray, dimension: int) -> IndexArtifact:
         from vectordb_retrieval_tpu.data.storage import (

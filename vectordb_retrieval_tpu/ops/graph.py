@@ -179,12 +179,24 @@ def add_reverse_edges(
     dst = adjacency.reshape(-1).astype(np.int64)
     keep = dst >= 0
     src, dst = src[keep], dst[keep]
-    d = np.asarray(
-        jnp.sum(
-            (vectors[jnp.asarray(src)] - vectors[jnp.asarray(dst)]) ** 2,
-            axis=1,
+    # chunk the edge-distance pass: a single gather of all N*R endpoints
+    # materialises two [N*R, d] operands — 16 GB each at 1M x 128d x R=32,
+    # past the ~8 GB usable HBM (CLAUDE.md). 256 MB chunks keep the
+    # transient bounded at any scale.
+    d = np.empty(src.shape[0], np.float32)
+    step = max(1, (256 << 20) // max(int(vectors.shape[1]) * 8, 1))
+    for s in range(0, src.shape[0], step):
+        e = min(s + step, src.shape[0])
+        d[s:e] = np.asarray(
+            jnp.sum(
+                (
+                    vectors[jnp.asarray(src[s:e])]
+                    - vectors[jnp.asarray(dst[s:e])]
+                )
+                ** 2,
+                axis=1,
+            )
         )
-    )
     order = np.lexsort((d, dst))  # group by dst, nearest first
     dst_s, src_s = dst[order], src[order]
     first = np.searchsorted(dst_s, np.arange(n))

@@ -573,6 +573,10 @@ class MutableIVFIndex:
                 bb, ss = free.pop()
                 rows_b[idxs[pos]], rows_s[idxs[pos]] = bb, ss
                 pos += 1
+            # reused slots are live again — without this the dead count
+            # grows monotonically under delete/add churn and triggers
+            # spurious full compactions of an index with no dead slots
+            self._n_dead = max(0, self._n_dead - take)
             while pos < r:
                 bucket = self._list_buckets[lst][-1]
                 if self._fill[bucket] >= self._L:
@@ -763,19 +767,36 @@ class MutableIVFIndex:
         self._bucket_lists = np.asarray(art.data["bucket_lists"])
         self._coarse_dirty = False
         self._refresh_coarse()
-        self._fill = (slot_np >= 0).sum(axis=1).astype(np.int64)
+        # fill = the append WATERMARK (max occupied slot + 1), NOT the
+        # live count: a snapshot can hold interior tombstones, and a
+        # live-count fill points the next add() at an occupied top slot —
+        # silently overwriting a live row (reproduced: save after an
+        # interior delete, load, add -> a live id's vector replaced while
+        # _id_loc still mapped it). Interior tombstones are pushed to the
+        # free lists so reuse and the compaction trigger see them.
+        occ = slot_np >= 0
+        has = occ.any(axis=1)
+        last = np.where(
+            has, self._L - 1 - np.argmax(occ[:, ::-1], axis=1), -1
+        )
+        self._fill = (last + 1).astype(np.int64)
         self._list_buckets = {
             l: list(np.nonzero(self._bucket_lists == l)[0])
             for l in range(self.nlist)
         }
         self._id_loc = {}
-        for b in range(self._nb):
-            for s_idx, rid in enumerate(slot_np[b]):
-                if rid >= 0:
-                    self._id_loc[int(rid)] = (b, s_idx)
-        self._next_id = int(meta["next_id"])
         self._list_free = {l: [] for l in range(self.nlist)}
         self._n_dead = 0
+        for b in range(self._nb):
+            lst = int(self._bucket_lists[b])
+            for s_idx in range(int(self._fill[b])):
+                rid = slot_np[b, s_idx]
+                if rid >= 0:
+                    self._id_loc[int(rid)] = (b, s_idx)
+                else:
+                    self._list_free[lst].append((b, s_idx))
+                    self._n_dead += 1
+        self._next_id = int(meta["next_id"])
         self.compact_frac = 0.25
         return self
 
