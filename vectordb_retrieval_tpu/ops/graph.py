@@ -888,15 +888,15 @@ def block_graph_search(
         ncd = jnp.where(
             (nbr >= 0) & ~in_beam & ~in_vis, ncd, big
         )
-        # narrow the candidate set BEFORE the O(c^2) block dedup: only the
-        # best efb candidates can enter the efb-wide frontier, so select
-        # 2*efb (headroom for duplicate-block copies) with one amk over
-        # [B, c] and run the pairwise dedup at [B, keep, keep] instead of
-        # [B, c, c] — the c=W*R mask was the push phase's dominant cost at
-        # wide expand (537 MB of bool work per wave at W=32, R=32, B=512).
-        # amk output is value-sorted, so the dedup keeps the BEST copy per
-        # block (the full-width variant kept the first in index order).
-        keep = min(2 * efb, c)
+        # narrow the candidate set BEFORE the O(keep^2) block dedup: only
+        # the best efb candidates can enter the efb-wide frontier, so
+        # select efb + one wave of headroom for duplicate-block copies
+        # (duplicates per push are bounded by entries-per-block, ~1.5 on
+        # real layouts — a full 2*efb window measured only slower: 7.7k
+        # -> 8.1k QPS at the 3-iteration msmarco geometry from shrinking
+        # it, recall identical). amk output is value-sorted, so the dedup
+        # keeps the BEST copy per block.
+        keep = min(efb + 96, c)
         nk, kpos = jax.lax.approx_max_k(-ncd, keep, recall_target=1.0)
         kd = -nk
         kids = jnp.take_along_axis(nbr, kpos, axis=1)
