@@ -350,5 +350,145 @@ def slab_dots_pallas(
 
 
 def slab_dots(queries: jax.Array, list_vecs: jax.Array, sel: jax.Array):
-    """Dispatch: compiled on TPU, interpreter elsewhere (tests)."""
-    return slab_dots_pallas(queries, list_vecs, sel, interpret=not _on_tpu())
+    """Dispatch: manual-DMA kernel on TPU, interpreter elsewhere (tests).
+
+    The manual ring (slab_dots_manual) measured 574 GB/s effective at the
+    msmarco production shape (512 q x 96 slabs x 128 x 384 bf16) where
+    the Mosaic per-spec pipeline was BISTABLE — ~500 GB/s in some
+    processes, 51 GB/s in others at identical shapes/inputs — with
+    bit-identical outputs. The Mosaic variant is kept for interpret-mode
+    tests and as a reference implementation.
+    """
+    if _on_tpu():
+        return slab_dots_manual(queries, list_vecs, sel)
+    return slab_dots_pallas(queries, list_vecs, sel, interpret=True)
+
+
+# -- manual-DMA slab scan (experimental alternative to slab_dots) ---------
+
+_MANUAL_GROUP = 8  # slabs per compute group (8-aligned sublane stores)
+_MANUAL_DEPTH = 16  # DMA ring slots (2 groups in flight)
+
+
+def _make_manual_slab_kernel(w_pad: int, length: int, d: int, slab_bf16: bool):
+    """Grid over queries; explicit per-slab HBM->VMEM copies on a
+    _MANUAL_DEPTH ring, computed in _MANUAL_GROUP-slab batches (one MXU
+    dot per group; group stores stay 8-aligned on the sublane axis)."""
+    group, depth = _MANUAL_GROUP, _MANUAL_DEPTH
+    n_groups = w_pad // group
+
+    def kernel(sel_ref, q_ref, vecs_hbm, out_ref):
+        i = pl.program_id(0)
+
+        def body(buf, sem):
+            def dma(w):
+                return pltpu.make_async_copy(
+                    vecs_hbm.at[sel_ref[i, w]],
+                    buf.at[w % depth],
+                    sem.at[w % depth],
+                )
+
+            for w in range(min(depth, w_pad)):  # prime the ring
+                dma(w).start()
+
+            q = q_ref[pl.ds(i, 1), :]  # [1, d]
+            if slab_bf16:
+                q_hi = q.astype(jnp.bfloat16)
+                q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def per_group(g, _):
+                base = g * group
+
+                def wait_slab(j, _):
+                    dma(base + j).wait()
+                    return _
+
+                jax.lax.fori_loop(0, group, wait_slab, None)
+                # one dot over the whole group: slots are contiguous when
+                # depth is a multiple of group (ring phase preserved)
+                slot0 = (base % depth)
+                rows = buf[pl.ds(slot0, group)].reshape(group * length, d)
+                if slab_bf16:
+                    dot = sum(
+                        jax.lax.dot_general(
+                            qq, rows,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        for qq in (q_hi, q_lo)
+                    )
+                else:
+                    dot = jax.lax.dot_general(
+                        q, rows,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                out_ref[0, pl.ds(base, group), :] = dot.reshape(group, length)
+
+                # refill the freed slots ONLY AFTER the group's compute
+                # has read them: slab w+depth lands in slot (w % depth) —
+                # the very slot just consumed — so refilling before the
+                # dot is a write-after-read race (caught as maxrelerr 32
+                # at one shape; other shapes won the race by timing)
+                def refill(j, _):
+                    @pl.when(base + j + depth < w_pad)
+                    def _():
+                        dma(base + j + depth).start()
+                    return _
+
+                jax.lax.fori_loop(0, group, refill, None)
+                return _
+
+            jax.lax.fori_loop(0, n_groups, per_group, None)
+
+        pl.run_scoped(
+            body,
+            buf=pltpu.VMEM(
+                (depth, length, d),
+                jnp.bfloat16 if slab_bf16 else jnp.float32,
+            ),
+            sem=pltpu.SemaphoreType.DMA((depth,)),
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def slab_dots_manual(
+    queries: jax.Array,  # [B, d] f32
+    list_vecs: jax.Array,  # [Nb, L, d] f32 or bf16
+    sel: jax.Array,  # [B, W] int32, pre-clamped to [0, Nb)
+    interpret: bool = False,
+) -> jax.Array:
+    """Manual-DMA variant of :func:`slab_dots_pallas`: same contract,
+    explicit ring-buffered copies instead of Mosaic's per-spec pipelining.
+    """
+    b, d = queries.shape
+    _, length, _ = list_vecs.shape
+    w = sel.shape[1]
+    w_pad = -(-w // _MANUAL_GROUP) * _MANUAL_GROUP
+    if w_pad != w:
+        sel = jnp.pad(sel, ((0, 0), (0, w_pad - w)))
+    slab_bf16 = list_vecs.dtype == jnp.bfloat16
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (b, d), lambda i, sel_ref: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # slabs stay in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, w_pad, length), lambda i, sel_ref: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        _make_manual_slab_kernel(w_pad, length, d, slab_bf16),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, w_pad, length), jnp.float32),
+        interpret=interpret,
+    )(sel.astype(jnp.int32), queries, list_vecs)
+    return out[:, :w] if w_pad != w else out
