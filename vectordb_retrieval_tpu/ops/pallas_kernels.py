@@ -367,14 +367,24 @@ def slab_dots(queries: jax.Array, list_vecs: jax.Array, sel: jax.Array):
 # -- manual-DMA slab scan (experimental alternative to slab_dots) ---------
 
 _MANUAL_GROUP = 8  # slabs per compute group (8-aligned sublane stores)
-_MANUAL_DEPTH = 16  # DMA ring slots (2 groups in flight)
+# DMA ring slots (depth/group groups in flight). Env-overridable for
+# on-hardware tuning; must be a multiple of _MANUAL_GROUP so a group's
+# slots stay contiguous in the ring. Sweep on v5e (scripts/exp_slab_ring.py):
+# msmarco shape (512q x 96 x 128 x 384 bf16) 8/16/32/64 slots ->
+# 332/543/551/562 GB/s; SIFT shape (256q x 96 x 128 x 128 bf16) flat at
+# ~230 GB/s from 16 up (per-copy issue overhead binds on 32 KB slabs).
+# 32 takes the knee on both shapes for <=6 MiB of ring VMEM at the
+# largest production slab (f32 128x384).
+_MANUAL_DEPTH = int(_os.environ.get("VRT_SLAB_RING_DEPTH", 32))
 
 
-def _make_manual_slab_kernel(w_pad: int, length: int, d: int, slab_bf16: bool):
+def _make_manual_slab_kernel(
+    w_pad: int, length: int, d: int, slab_bf16: bool, depth: int
+):
     """Grid over queries; explicit per-slab HBM->VMEM copies on a
-    _MANUAL_DEPTH ring, computed in _MANUAL_GROUP-slab batches (one MXU
+    ``depth``-slot ring, computed in _MANUAL_GROUP-slab batches (one MXU
     dot per group; group stores stay 8-aligned on the sublane axis)."""
-    group, depth = _MANUAL_GROUP, _MANUAL_DEPTH
+    group = _MANUAL_GROUP
     n_groups = w_pad // group
 
     def kernel(sel_ref, q_ref, vecs_hbm, out_ref):
@@ -454,16 +464,21 @@ def _make_manual_slab_kernel(w_pad: int, length: int, d: int, slab_bf16: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "depth"))
 def slab_dots_manual(
     queries: jax.Array,  # [B, d] f32
     list_vecs: jax.Array,  # [Nb, L, d] f32 or bf16
     sel: jax.Array,  # [B, W] int32, pre-clamped to [0, Nb)
     interpret: bool = False,
+    depth: int | None = None,
 ) -> jax.Array:
     """Manual-DMA variant of :func:`slab_dots_pallas`: same contract,
     explicit ring-buffered copies instead of Mosaic's per-spec pipelining.
     """
+    if depth is None:
+        depth = _MANUAL_DEPTH
+    if depth % _MANUAL_GROUP:
+        raise ValueError(f"ring depth {depth} not a multiple of {_MANUAL_GROUP}")
     b, d = queries.shape
     _, length, _ = list_vecs.shape
     w = sel.shape[1]
@@ -486,7 +501,7 @@ def slab_dots_manual(
         ),
     )
     out = pl.pallas_call(
-        _make_manual_slab_kernel(w_pad, length, d, slab_bf16),
+        _make_manual_slab_kernel(w_pad, length, d, slab_bf16, depth),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, w_pad, length), jnp.float32),
         interpret=interpret,
