@@ -48,7 +48,9 @@ def algorithm_from_config(
     CompositeAlgorithm; one with ``type`` goes through the registry factory.
     """
     cfg = {
-        k: v for k, v in config.items() if k not in ("persistence", "enabled")
+        k: v
+        for k, v in config.items()
+        if k not in ("persistence", "enabled", "repeat")
     }
     if "indexer" in cfg and "searcher" in cfg:
         metric = cfg.pop("metric", "l2")
@@ -156,7 +158,12 @@ class ExperimentRunner:
     def _config_hash(self, algo_config: Dict[str, Any]) -> str:
         payload = {
             "algorithm_config": {
-                k: v for k, v in algo_config.items() if k != "persistence"
+                # repeat only affects timing amortisation, never the
+                # artifact — excluding it keeps persisted indexes valid
+                # across timing-protocol changes
+                k: v
+                for k, v in algo_config.items()
+                if k not in ("persistence", "repeat")
             },
             "dataset_options": self.config.dataset_options,
             "topk": self.config.topk,
@@ -312,7 +319,7 @@ class ExperimentRunner:
             return base_metrics, np.zeros((0, k), np.int64), np.zeros(0)
 
         indices, query_times, warmup_s, total_time = self._timed_search(
-            algorithm, queries, k
+            algorithm, queries, k, repeat=algo_config.get("repeat")
         )
         mean_ms = (
             (total_time / max(len(queries), 1)) * 1000.0 if len(queries) else 0.0
@@ -332,10 +339,21 @@ class ExperimentRunner:
         return base_metrics, indices, query_times
 
     def _timed_search(
-        self, algorithm: BaseAlgorithm, queries: np.ndarray, k: int
+        self,
+        algorithm: BaseAlgorithm,
+        queries: np.ndarray,
+        k: int,
+        repeat: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray, float, float]:
         """Batched timing loop with warm-up exclusion and single-query
-        fallback (reference experiment_runner.py:420-455)."""
+        fallback (reference experiment_runner.py:420-455).
+
+        ``repeat`` (per-algorithm override of ``config.repeat``) sets how
+        many passes of the full query stream the fused program folds into
+        one execution: runtimes with a fixed per-program dispatch cost
+        (~27 ms on the tunnel) under-report fast rows at low repeat, while
+        slow rows (covertree) cannot afford many passes — hence per-row
+        control."""
         n = queries.shape[0]
         batch = self.config.query_batch_size or n
         indices = np.full((n, k), -1, dtype=np.int64)
@@ -365,7 +383,9 @@ class ExperimentRunner:
             import jax
             import jax.numpy as jnp
 
-            repeats = max(1, int(getattr(self.config, "repeat", 1) or 1))
+            if repeat is None:
+                repeat = getattr(self.config, "repeat", 1)
+            repeats = max(1, int(repeat or 1))
             padded_n = -(-n // batch) * batch
             q_pad = np.zeros((padded_n, queries.shape[1]), dtype=np.float32)
             q_pad[:n] = queries
