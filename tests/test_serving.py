@@ -512,3 +512,55 @@ def test_mutable_ivf_churn_does_not_inflate_dead_count(rng):
         # slot is reused, so the dead count must return to zero
         idx.add(x[i : i + 1])
         assert idx._n_dead == 0, f"step {i}: dead={idx._n_dead}"
+
+
+def test_ivf_filter_pushdown_matches_oracle(rng):
+    """MutableIVF filtered search == oracle over the allowed set, at full
+    probe coverage (predicate pushdown, not overfetch-and-drop)."""
+    from vectordb_retrieval_tpu.serving import MutableIVFIndex
+
+    x = rng.standard_normal((600, 12)).astype(np.float32)
+    q = rng.standard_normal((7, 12)).astype(np.float32)
+    idx = MutableIVFIndex(x, nlist=8, nprobe=8)  # all lists probed
+    allow = np.arange(0, 600, 3)  # every 3rd id
+    d, got = idx.search(q, 5, filter_ids=allow)
+    assert np.isin(got[got >= 0], allow).all()
+    exp = _oracle(q, x[allow], 5)
+    gd = np.sort(d, 1)
+    ed = np.sort(
+        ((q[:, None, :] - x[allow][exp]) ** 2).sum(-1), 1
+    )
+    np.testing.assert_allclose(gd, ed, rtol=1e-3, atol=1e-4)
+
+
+def test_ivf_filter_interacts_with_delete(rng):
+    from vectordb_retrieval_tpu.serving import MutableIVFIndex
+
+    x = rng.standard_normal((300, 10)).astype(np.float32)
+    q = x[:4]
+    idx = MutableIVFIndex(x, nlist=4, nprobe=4)
+    idx.delete(np.arange(0, 300, 2))  # kill the even ids
+    allow = np.arange(0, 300)  # allow everything, incl. deleted
+    d, got = idx.search(q, 6, filter_ids=allow)
+    live = got[got >= 0]
+    assert (live % 2 == 1).all(), "deleted rows must not pass the filter"
+    # allowed set smaller than k: pad with -1/inf instead of leaking
+    d2, got2 = idx.search(q, 6, filter_ids=np.array([1, 3]))
+    assert set(got2[got2 >= 0].tolist()) <= {1, 3}
+    assert np.isinf(np.sort(d2, 1)[:, -1]).all()
+
+
+def test_ivf_filter_small_allowlist_exact(rng):
+    """A tiny allow-list must return exactly those rows (ranked), even
+    when they live in lists the unfiltered top-k would never surface."""
+    from vectordb_retrieval_tpu.serving import MutableIVFIndex
+
+    x = rng.standard_normal((400, 8)).astype(np.float32)
+    q = rng.standard_normal((3, 8)).astype(np.float32)
+    idx = MutableIVFIndex(x, nlist=5, nprobe=5)
+    allow = np.array([17, 230, 391])
+    d, got = idx.search(q, 3, filter_ids=allow)
+    exp = _oracle(q, x[allow], 3)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(got), 1), np.sort(allow[exp], 1)
+    )

@@ -105,3 +105,60 @@ def test_sharded_coded_global_ids(rng):
     )
     # self-retrieval across shard boundaries proves global id mapping
     assert list(np.asarray(i)[:, 0]) == list(range(8))
+
+
+def test_sharded_exact_nprobe_semantics(rng):
+    """Exact 'probe nprobe LISTS per shard' semantics vs a NumPy oracle
+    on a skewed corpus (one cluster owns 60% of rows — the shape where
+    the generous bucket budget and the reference semantics diverge)."""
+    d_dim, npl, k = 24, 2, 10
+    centers = (rng.standard_normal((6, d_dim)) * 8).astype(np.float32)
+    sizes = [2400, 320, 320, 320, 320, 320]
+    x = np.concatenate(
+        [centers[j] + rng.standard_normal((s, d_dim)) for j, s in enumerate(sizes)]
+    ).astype(np.float32)
+    x = x[rng.permutation(len(x))]
+    q = (
+        centers[rng.integers(0, 6, 16)]
+        + rng.standard_normal((16, d_dim))
+    ).astype(np.float32)
+
+    mesh = make_mesh(4)
+    data, meta = build_sharded_ivf_flat(x, mesh, nlist=6, seed=3)
+    budget = int(meta["probe_cum"][npl - 1])
+    de, ie = sharded_ivf_flat_search(
+        jnp.asarray(q), data, k, budget, mesh,
+        nlist=int(meta["nlist"]), nprobe_lists=npl,
+    )
+    de, ie = np.asarray(de), np.asarray(ie)
+
+    # oracle: per shard, rank LISTS by min bucket-centroid distance, keep
+    # the npl nearest, score every member row of their buckets exactly
+    cents = np.asarray(data["centroids"])  # [S, nb, d]
+    bls = np.asarray(data["bucket_lists"])  # [S, nb]
+    slots = np.asarray(data["slot_ids"])  # [S, nb, L]
+    n_shards, nb, _ = cents.shape
+    oracle = np.full((16, k), np.inf)
+    for s in range(n_shards):
+        cd = ((q[:, None, :] - cents[s][None]) ** 2).sum(-1)  # [16, nb]
+        ld = np.full((16, meta["nlist"]), np.inf)
+        for l in range(meta["nlist"]):
+            m = bls[s] == l
+            if m.any():
+                ld[:, l] = cd[:, m].min(1)
+        top_l = np.argsort(ld, axis=1)[:, :npl]
+        for qi in range(16):
+            allowed = np.isin(bls[s], top_l[qi])
+            rows = slots[s][allowed].reshape(-1)
+            rows = rows[rows >= 0]
+            if rows.size == 0:
+                continue
+            dd = ((q[qi] - x[rows]) ** 2).sum(-1)
+            merged = np.sort(np.concatenate([oracle[qi], dd]))[:k]
+            oracle[qi] = merged
+    np.testing.assert_allclose(np.sort(de, 1), oracle, rtol=2e-3, atol=2e-3)
+
+    # the generous bucket budget is a recall superset: at the same budget
+    # it may only add coverage, never lose it
+    dg, ig = sharded_ivf_flat_search(jnp.asarray(q), data, k, budget, mesh)
+    assert np.all(np.sort(np.asarray(dg), 1) <= np.sort(de, 1) + 1e-3)

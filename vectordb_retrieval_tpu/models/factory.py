@@ -552,6 +552,23 @@ class ANNSearcher(BaseSearcher):
             "nprobe_lists": max(1, min(raw, nlist)),
         }
 
+    def _sharded_probe_lists(self) -> int:
+        """Exact reference nprobe semantics for the sharded family: each
+        shard probes its own ``nprobe`` nearest LISTS (what FAISS
+        IndexShards' per-shard ``index.nprobe`` does). 0 = generous bucket
+        budget (``nprobe_semantics: buckets``, or a legacy artifact with
+        no ``bucket_lists``)."""
+        meta = self.artifact.metadata
+        semantics = str(
+            self.params.get(
+                "nprobe_semantics", meta.get("nprobe_semantics", "lists")
+            )
+        )
+        if semantics != "lists" or "bucket_lists" not in self.artifact.data:
+            return 0
+        raw = int(self.params.get("nprobe", meta.get("nprobe", 10)))
+        return max(1, min(raw, int(meta.get("nlist", 1))))
+
     def _score_metric(self) -> str:
         metric = self.artifact.metadata.get("metric", self.metric)
         return "ip" if metric in ("ip", "cosine") else "l2"
@@ -618,7 +635,9 @@ class ANNSearcher(BaseSearcher):
             mesh = art.mesh
             if kind == "ivf_flat_sharded":
                 dists, ids = par.sharded_ivf_flat_search(
-                    q, d, eff_k, self._nprobe(), mesh, metric=metric
+                    q, d, eff_k, self._nprobe(), mesh, metric=metric,
+                    nlist=int(meta.get("nlist", 0)),
+                    nprobe_lists=self._sharded_probe_lists(),
                 )
             elif kind == "graph_sharded":
                 ef = int(
@@ -648,6 +667,8 @@ class ANNSearcher(BaseSearcher):
                     q, d, eff_k, self._nprobe(), mesh,
                     coding="pq" if kind == "ivf_pq_sharded" else "sq8",
                     metric=metric,
+                    nlist=int(meta.get("nlist", 0)),
+                    nprobe_lists=self._sharded_probe_lists(),
                 )
         elif kind == "binary_lsh":
             from vectordb_retrieval_tpu.models.lsh import binary_lsh_search

@@ -234,6 +234,10 @@ def _probe_scan(probes, k, score_fn, bucket_len=0, row_bytes=0, valid=None):
         L = dist.shape[1] // group
         ids = jnp.where(jnp.repeat(valid_p[:, s], L, axis=1), ids, -1)
         dist = jnp.where(ids >= 0, dist, jnp.inf)
+        # +inf with a REAL id happens under slot_pen (filtered slot):
+        # drop the id too, or a downstream exact rescore would resurrect
+        # the filtered row at its true distance
+        ids = jnp.where(jnp.isfinite(dist), ids, -1)
         cat_d = jnp.concatenate([best_d, dist], axis=1)
         cat_i = jnp.concatenate([best_i, ids], axis=1)
         new_d, sel = dops.top_k_smallest(cat_d, k)
@@ -381,6 +385,7 @@ def ivf_flat_search(
     bucket_lists: jax.Array = None,  # with nlist/nprobe_lists: exact
     nlist: int = 0,                  # reference 'probe nprobe LISTS'
     nprobe_lists: int = 0,           # semantics (exact_probe_mask)
+    slot_pen: jax.Array = None,      # [n_bkt, L] f32 additive penalty
 ) -> Tuple[jax.Array, jax.Array]:
     """IVF-Flat probe scan.
 
@@ -388,6 +393,12 @@ def ivf_flat_search(
     compressed copies — the per-probe list gather is the bandwidth cost of
     this search — and the final ``k+8`` candidates are rescored exactly
     against the f32 ``full_vectors``, so bf16 noise cannot perturb results.
+
+    ``slot_pen`` is the predicate-pushdown hook (serving's filtered
+    search): a per-slot additive penalty (0 = allowed, +inf = filtered)
+    applied INSIDE the scan, before any top-k — filtered rows never
+    consume candidate slots, so a filtered search keeps full recall over
+    the allowed set instead of post-filtering an overfetched list.
     """
     pvalid = None
     if bucket_lists is not None and nprobe_lists and nlist:
@@ -416,7 +427,7 @@ def ivf_flat_search(
         )
 
         def chunk_score(pl):
-            vecs, sqn = pl
+            vecs, sqn, *pen = pl
             c = vecs.shape[0]
             dots = jax.lax.dot_general(
                 q_cast, vecs.reshape(c * vecs.shape[1], -1),
@@ -425,19 +436,32 @@ def ivf_flat_search(
                 precision=s_prec,
             )
             if metric == "l2":
-                return qn[:, None] + sqn.reshape(1, -1) - 2.0 * dots
-            return -dots
+                dist = qn[:, None] + sqn.reshape(1, -1) - 2.0 * dots
+            else:
+                dist = -dots
+            if pen:
+                dist = dist + pen[0].reshape(1, -1)
+            return dist
 
         def block_rescore(pl):
-            vecs, _ = pl  # [B, nb, w, d]
+            vecs, _, *pen = pl  # [B, nb, w, d]
             v32 = vecs.astype(jnp.float32)
             if metric == "l2":
                 diff = v32 - queries[:, None, None, :]
-                return jnp.sum(diff * diff, axis=-1)  # VPU exact
-            return -jnp.sum(v32 * queries[:, None, None, :], axis=-1)
+                cd = jnp.sum(diff * diff, axis=-1)  # VPU exact
+            else:
+                cd = -jnp.sum(v32 * queries[:, None, None, :], axis=-1)
+            if pen:
+                cd = cd + pen[0]
+            return cd
 
+        payload = (
+            (list_vecs, list_sqnorms)
+            if slot_pen is None
+            else (list_vecs, list_sqnorms, slot_pen)
+        )
         dists, ids = _ivf_blockmin(
-            probes, slot_ids, (list_vecs, list_sqnorms),
+            probes, slot_ids, payload,
             chunk_score, block_rescore, fetch_k, probe_valid=pvalid,
         )
         if compressed:
@@ -469,6 +493,8 @@ def ivf_flat_search(
             dist = qn[:, None, None] + list_sqnorms[lists] - 2.0 * dots
         else:
             dist = -dots
+        if slot_pen is not None:
+            dist = dist + slot_pen[lists]
         return dist.reshape(b, -1), ids.reshape(b, -1)
 
     L = slot_ids.shape[1]

@@ -11,13 +11,14 @@ shape to the sharded exact search (parallel/sharded.py).
 Slot ids are stored as *global* database row ids at build time, so no id
 translation is needed at merge.
 
-nprobe semantics: each shard probes its ``nprobe``-largest-lists bucket
-budget (ops/ivf.probe_budget_cum) with the GENEROUS spill — slack probe
-slots fall to next-nearest lists. The sharded family is a
-parity-plus capability (the reference has no distributed runtime), not a
-fixed-nprobe reference comparison, so the extra coverage is kept as free
-recall; the single-chip immutable family defaults to the exact
-reference "probe nprobe lists" semantics (ops/ivf.exact_probe_mask).
+nprobe semantics: like the single-chip family, each shard defaults to the
+exact reference "probe the nprobe nearest LISTS" semantics
+(ops/ivf.exact_probe_mask over its own lists — the same per-shard
+``index.nprobe`` FAISS IndexShards would apply), with the bucket probe
+budget sized by the cross-shard worst case (``probe_cum``) and spare
+slots masked. Pass ``nprobe_lists=0`` (searcher param
+``nprobe_semantics: buckets``) for the generous superset where slack
+probe slots spill to next-nearest lists.
 """
 
 from __future__ import annotations
@@ -147,10 +148,16 @@ def build_sharded_ivf_flat(
     vec_stack = np.zeros(
         (n_shards, max_buckets, max_len, d), dtype=np.float32
     )
+    # dead/padding buckets map to list 0: their 1e9 centroids can never
+    # win a segment-min or a probe slot ahead of a real bucket, and their
+    # slots are -1 (masked in the scan) — so the exact-semantics selector
+    # stays correct on ragged shards
+    bl_stack = np.zeros((n_shards, max_buckets), dtype=np.int32)
     for s, (centroids, slot_g, bucket_lists, _assign) in enumerate(layouts):
         nb, ml = slot_g.shape
         cent_stack[s, :nb] = np.asarray(centroids)[bucket_lists]
         slot_stack[s, :nb, :ml] = slot_g
+        bl_stack[s, :nb] = np.maximum(bucket_lists, 0)
         safe = np.where(slot_stack[s] >= 0, slot_stack[s], 0)
         vec_stack[s] = x[safe] * (slot_stack[s] >= 0)[:, :, None]
     sqn_stack = np.sum(vec_stack * vec_stack, axis=-1)
@@ -163,6 +170,7 @@ def build_sharded_ivf_flat(
         "slot_ids": sh(slot_stack),
         "list_vecs": sh(vec_stack),
         "list_sqnorms": sh(sqn_stack),
+        "bucket_lists": sh(bl_stack),
     }, {
         "nlist": nlist,
         "n_buckets": max_buckets,
@@ -182,7 +190,10 @@ def _query_specs(q_axis):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "nprobe", "metric", "mesh", "axis", "q_axis"),
+    static_argnames=(
+        "k", "nprobe", "metric", "mesh", "axis", "q_axis",
+        "nlist", "nprobe_lists",
+    ),
 )
 def sharded_ivf_flat_search(
     queries: jax.Array,
@@ -193,36 +204,55 @@ def sharded_ivf_flat_search(
     metric: str = "l2",
     axis: str = "db",
     q_axis: str = None,
+    nlist: int = 0,
+    nprobe_lists: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Fan-out probe scan per shard + all_gather candidate merge."""
+    """Fan-out probe scan per shard + all_gather candidate merge.
 
-    def local(q, cents, slots, vecs, sqns):
+    ``nlist``/``nprobe_lists`` (with a ``bucket_lists`` entry in ``data``)
+    restrict each shard to the exact reference "probe nprobe lists"
+    semantics (ops/ivf.exact_probe_mask); 0 keeps the generous bucket
+    budget."""
+    exact_sem = bool(nprobe_lists and nlist) and "bucket_lists" in data
+
+    def local(q, cents, slots, vecs, sqns, *bl):
+        kw = (
+            dict(
+                bucket_lists=bl[0][0], nlist=nlist,
+                nprobe_lists=nprobe_lists,
+            )
+            if exact_sem
+            else {}
+        )
         d, i = ivfops.ivf_flat_search(
-            q, cents[0], slots[0], vecs[0], sqns[0], k, nprobe, metric=metric
+            q, cents[0], slots[0], vecs[0], sqns[0], k, nprobe,
+            metric=metric, **kw,
         )
         return gather_merge(d, i, axis, k)
 
     q_spec, out_specs = _query_specs(q_axis)
+    in_specs = (
+        q_spec,
+        P(axis, None, None),
+        P(axis, None, None),
+        P(axis, None, None, None),
+        P(axis, None, None),
+    )
+    operands = [
+        data["centroids"], data["slot_ids"], data["list_vecs"],
+        data["list_sqnorms"],
+    ]
+    if exact_sem:
+        in_specs = in_specs + (P(axis, None),)
+        operands.append(data["bucket_lists"])
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(
-            q_spec,
-            P(axis, None, None),
-            P(axis, None, None),
-            P(axis, None, None, None),
-            P(axis, None, None),
-        ),
+        in_specs=in_specs,
         out_specs=out_specs,
         check_vma=False,
     )
-    return fn(
-        queries,
-        data["centroids"],
-        data["slot_ids"],
-        data["list_vecs"],
-        data["list_sqnorms"],
-    )
+    return fn(queries, *operands)
 
 
 def build_sharded_ivf_coded(
@@ -320,6 +350,7 @@ def build_sharded_ivf_coded(
         (n_shards, max_buckets, max_len, code_w), dtype=code_dt
     )
     sqn_stack = np.zeros((n_shards, max_buckets, max_len), dtype=np.float32)
+    bl_stack = np.zeros((n_shards, max_buckets), dtype=np.int32)
     extra_stacks: dict = {}
     for s, (cents, slot_g, bucket_lists, codes_l, sqn_l, extras) in enumerate(
         shards
@@ -329,6 +360,7 @@ def build_sharded_ivf_coded(
         slot_stack[s, :nb, :ml] = slot_g
         code_stack[s, :nb, :ml] = codes_l
         sqn_stack[s, :nb, :ml] = sqn_l
+        bl_stack[s, :nb] = np.maximum(bucket_lists, 0)
         for key, val in extras.items():
             extra_stacks.setdefault(key, []).append(val)
 
@@ -340,6 +372,7 @@ def build_sharded_ivf_coded(
         "slot_ids": sh(slot_stack),
         "list_codes": sh(code_stack),
         "list_sqnorms": sh(sqn_stack),
+        "bucket_lists": sh(bl_stack),
     }
     for key, vals in extra_stacks.items():
         data[key] = sh(np.stack(vals))
@@ -358,7 +391,8 @@ def build_sharded_ivf_coded(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "nprobe", "metric", "mesh", "axis", "coding", "q_axis"
+        "k", "nprobe", "metric", "mesh", "axis", "coding", "q_axis",
+        "nlist", "nprobe_lists",
     ),
 )
 def sharded_ivf_coded_search(
@@ -371,35 +405,50 @@ def sharded_ivf_coded_search(
     metric: str = "l2",
     axis: str = "db",
     q_axis: str = None,
+    nlist: int = 0,
+    nprobe_lists: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Fan-out quantized probe scan per shard + all_gather merge."""
+    """Fan-out quantized probe scan per shard + all_gather merge.
+
+    ``nlist``/``nprobe_lists`` select the exact reference nprobe
+    semantics per shard (see :func:`sharded_ivf_flat_search`)."""
+    exact_sem = bool(nprobe_lists and nlist) and "bucket_lists" in data
+    kw_of = (
+        (lambda bl: dict(
+            bucket_lists=bl[0], nlist=nlist, nprobe_lists=nprobe_lists
+        ))
+        if exact_sem
+        else (lambda bl: {})
+    )
     if coding == "pq":
 
-        def local(q, cents, slots, codes, sqns, cbs):
+        def local(q, cents, slots, codes, sqns, cbs, *bl):
             d, i = ivfops.ivf_pq_search(
                 q, cents[0], slots[0], codes[0], sqns[0], cbs[0],
-                k, nprobe, metric=metric,
+                k, nprobe, metric=metric, **kw_of(bl[0] if bl else None),
             )
             return gather_merge(d, i, axis, k)
 
-        operands = (
+        operands = [
             data["centroids"], data["slot_ids"], data["list_codes"],
             data["list_sqnorms"], data["codebooks"],
-        )
+        ]
     else:
 
-        def local(q, cents, slots, codes, sqns, vmin, step):
+        def local(q, cents, slots, codes, sqns, vmin, step, *bl):
             d, i = ivfops.ivf_sq_search(
                 q, cents[0], slots[0], codes[0], sqns[0], vmin[0], step[0],
-                k, nprobe, metric=metric,
+                k, nprobe, metric=metric, **kw_of(bl[0] if bl else None),
             )
             return gather_merge(d, i, axis, k)
 
-        operands = (
+        operands = [
             data["centroids"], data["slot_ids"], data["list_codes"],
             data["list_sqnorms"], data["vmin"], data["step"],
-        )
+        ]
 
+    if exact_sem:
+        operands.append(data["bucket_lists"])
     specs = tuple(
         P(axis, *([None] * (op.ndim - 1))) for op in operands
     )

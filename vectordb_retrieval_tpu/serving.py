@@ -111,6 +111,39 @@ def _masked_search(
     return best_d, jnp.where(jnp.isfinite(best_d), best_i, -1)
 
 
+@jax.jit
+def _allow_penalty(slot_ids: jax.Array, allow_sorted: jax.Array) -> jax.Array:
+    """Per-slot filter penalty: 0 where the slot's stable id is in the
+    sorted allow-list, +inf elsewhere (dead slots, id −1, always +inf).
+
+    Membership is a device-side ``searchsorted`` (O(S log F)), so the
+    predicate pushes down into the probe scan without materialising a
+    host-side mask per call; the allow-list is padded to a power of two
+    by the caller so ragged filter sizes reuse compiles."""
+    pos = jnp.searchsorted(allow_sorted, slot_ids)
+    posc = jnp.clip(pos, 0, allow_sorted.shape[0] - 1)
+    hit = (allow_sorted[posc] == slot_ids) & (slot_ids >= 0)
+    return jnp.where(hit, jnp.float32(0), jnp.float32(jnp.inf))
+
+
+_ALLOW_SENTINEL = np.iinfo(np.int32).max
+
+
+def _pad_allow_list(filter_ids) -> np.ndarray:
+    """Sorted int32 allow-list padded to the next power of two with an
+    unmatchable sentinel (stable ids are int32 by the serving contract)."""
+    f = np.unique(np.asarray(filter_ids, dtype=np.int64).reshape(-1))
+    if f.size and (f[-1] >= _ALLOW_SENTINEL or f[0] < -1):
+        raise ValueError("filter ids must fit int32 (serving id contract)")
+    n = max(1, int(f.size))
+    p2 = 1
+    while p2 < n:
+        p2 *= 2
+    out = np.full((p2,), _ALLOW_SENTINEL, dtype=np.int32)
+    out[: f.size] = f.astype(np.int32)
+    return out
+
+
 class MutableFlatIndex:
     """Incrementally updatable exact index (add / delete / filter / search).
 
@@ -370,12 +403,13 @@ class MutableFlatIndex:
             metric = "ip"
         pen = self._pen
         if filter_ids is not None:
-            allowed = np.full((self._capacity,), np.inf, np.float32)
-            for i in np.atleast_1d(np.asarray(filter_ids, dtype=np.int64)):
-                slot = self._id_to_slot.get(int(i))
-                if slot is not None:
-                    allowed[slot] = 0.0
-            pen = pen + jnp.asarray(allowed)
+            # vectorised membership over the slot->stable-id table (the
+            # per-id dict-lookup loop was O(F) Python per call)
+            allow = np.asarray(filter_ids, dtype=np.int64).reshape(-1)
+            mask = np.isin(self._slot_ids[: self._capacity], allow)
+            pen = pen + jnp.asarray(
+                np.where(mask, 0.0, np.inf).astype(np.float32)
+            )
         eff_k = min(k, self._capacity)
         dists, slots = _masked_search(
             qd, self._vectors, self._sqnorms, pen, eff_k, metric
@@ -801,8 +835,17 @@ class MutableIVFIndex:
         return self
 
     def search(
-        self, queries: np.ndarray, k: int, nprobe: Optional[int] = None
+        self,
+        queries: np.ndarray,
+        k: int,
+        nprobe: Optional[int] = None,
+        filter_ids: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
+        """Probe-scan search; ``filter_ids`` (allow-list of stable ids)
+        pushes the predicate INTO the scan as a per-slot +inf penalty
+        (ops/ivf.ivf_flat_search ``slot_pen``), so filtered rows never
+        consume candidate slots — full recall over the allowed set, no
+        overfetch-and-post-filter heuristics."""
         from vectordb_retrieval_tpu.ops import ivf as ivfops
 
         q = np.ascontiguousarray(np.atleast_2d(queries), dtype=np.float32)
@@ -845,9 +888,14 @@ class MutableIVFIndex:
         # probed dead buckets only contribute masked -1/inf slots
         eff = min(q2, physical)
         eff_k = min(k, physical * self._L)
+        slot_pen = None
+        if filter_ids is not None:
+            slot_pen = _allow_penalty(
+                self._slot_ids, jnp.asarray(_pad_allow_list(filter_ids))
+            )
         dists, ids = ivfops.ivf_flat_search(
             qd, self._coarse, self._slot_ids, self._list_vecs,
-            self._list_sqn, eff_k, eff, metric=metric,
+            self._list_sqn, eff_k, eff, metric=metric, slot_pen=slot_pen,
         )
         dists = np.asarray(dists)[:b]
         ids = np.asarray(ids).astype(np.int64)[:b]
