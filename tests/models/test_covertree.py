@@ -100,6 +100,93 @@ def test_covertree_persistence_validation(tmp_path, rng):
         get_algorithm_instance("covertree", 16).load_index(path, {})
 
 
+def test_covertree_exact_radii_cover_subtrees(rng):
+    """Stored radii must truly cover every node's subtree (the pruning
+    soundness invariant) and be tighter than the analytic 2^(level+1)."""
+    from vectordb_retrieval_tpu.models.covertree import (
+        build_cover_tree,
+        cap_fanout,
+        exact_subtree_radii,
+        node_depths,
+    )
+
+    x, _ = _data(rng, n=400)
+    levels, child_lists, root = build_cover_tree(x)
+    point_ids, analytic, is_real, kids = cap_fanout(x, levels, child_lists)
+    radii = exact_subtree_radii(x, point_ids, kids, root)
+
+    # every descendant of v lies within radii[v] of v's point (f64 check)
+    pid = np.asarray(point_ids, np.int64)
+    xs = x.astype(np.float64)
+    desc = [list(c) for c in kids]
+    depth = node_depths(kids, root)
+    for v in np.argsort(-depth):  # deepest first: accumulate descendants
+        for c in kids[v]:
+            desc[v].extend(desc[c])
+    for v in range(len(kids)):
+        if not desc[v]:
+            continue
+        dd = np.linalg.norm(xs[pid[desc[v]]] - xs[pid[v]], axis=1)
+        assert dd.max() <= radii[v] * (1 + 1e-6), (v, dd.max(), radii[v])
+    # tighter on average than the analytic bound
+    parents = np.asarray([v for v in range(len(kids)) if kids[v]])
+    assert np.median(radii[parents] / analytic[parents]) < 1.0
+
+
+def test_stream_band_covers_mxu_error(rng):
+    """The certified band must cover the MXU's bf16-input dot error
+    (emulated here with an explicit bf16 round-trip of the inputs, which
+    upper-bounds the TPU DEFAULT-precision truncation)."""
+    import jax.numpy as jnp
+
+    from vectordb_retrieval_tpu.ops.covertree import DEFAULT_ERR_C
+
+    q = rng.standard_normal((64, 384)).astype(np.float32) * 3.0
+    x = rng.standard_normal((512, 384)).astype(np.float32)
+    dot_bf = np.asarray(
+        jnp.asarray(q).astype(jnp.bfloat16).astype(jnp.float32)
+        @ jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32).T
+    )
+    dot_true = q.astype(np.float64) @ x.astype(np.float64).T
+    bound = (
+        DEFAULT_ERR_C
+        * np.linalg.norm(q, axis=1)[:, None]
+        * np.linalg.norm(x, axis=1)[None, :]
+    )
+    assert np.all(np.abs(dot_bf - dot_true) <= bound)
+
+
+def test_stream_certificate_fallback_keeps_exactness(rng):
+    """A deliberately huge error band makes the certificate fail for every
+    query; batch_search must then fall back to the exact scan (flagged via
+    the ndis counter jumping to ~N per query) and stay exact."""
+    x, q = _data(rng, n=400)
+    algo = get_algorithm_instance("covertree", 16, err_c=0.5, kprime=5)
+    algo.build_index(x)
+    d, i = algo.batch_search(q, 5)
+    full = np.sqrt(((q[:, None, :] - x[None, :, :]) ** 2).sum(-1))
+    oracle_d = np.sort(full, axis=1)[:, :5]
+    np.testing.assert_allclose(np.sort(d, 1), oracle_d, rtol=1e-3, atol=1e-3)
+    # the fallback's ndis accounting: n_fallback_queries * N on top
+    assert algo.get_operations()["ndis"] >= 12 * 400
+
+
+def test_covertree_device_kernel_matches_batch_search(rng):
+    import jax
+    import jax.numpy as jnp
+
+    x, q = _data(rng, n=300)
+    algo = get_algorithm_instance("covertree", 16, metric="l2")
+    algo.build_index(x)
+    d0, i0 = algo.batch_search(q, 5)
+    assert algo.has_device_kernel
+    d1, i1 = jax.jit(algo.device_kernel, static_argnums=1)(
+        jnp.asarray(q), 5
+    )
+    np.testing.assert_allclose(d0, np.asarray(d1), rtol=1e-5, atol=1e-6)
+    assert np.array_equal(i0, np.asarray(i1).astype(np.int64))
+
+
 def test_covertree_duplicate_points(rng):
     x, _ = _data(rng, n=50)
     x = np.concatenate([x, x[:10]], axis=0)  # exact duplicates

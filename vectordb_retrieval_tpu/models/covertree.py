@@ -8,14 +8,17 @@ manifest + WRITE_COMPLETE sentinel + fingerprint validation — via the
 generic artifact store, models/persist.py).
 
 TPU-first re-design:
-  * the tree is stored as flat device arrays — one node per database point
-    (``level [N]``, cover ``radii [N] = 2^(level+1)``, padded ``children
-    [N, C]``) — no Python node objects (reference builds an object graph,
-    covertree_v2_2.py:228-268);
-  * search runs entirely on device as a batched best-first descent
-    (ops/covertree.py) instead of a per-query heap loop; exactness is
-    preserved via the same cover-radius bound, and queries whose frontier
-    overflows fall back to the exact MXU scan, so results are always exact;
+  * the tree is stored as flat device arrays in **depth-major slab order**
+    (every BFS depth contiguous; exact bottom-up subtree radii; parent
+    position per node) — no Python node objects (reference builds an
+    object graph, covertree_v2_2.py:228-268);
+  * search is the **depth-synchronous masked stream**
+    (ops/covertree.py: covertree_stream_search): each depth is a static
+    slab slice scored with one dense MXU matmul, the pruned/alive state
+    propagates parent->child as a boolean mask, and the final top-k is
+    exactly rescored from the top-K' candidates under a blockmin-style
+    certificate; queries whose certificate fails fall back to the exact
+    MXU scan, so results are always exact;
   * build is a host-side vectorized insertion loop (NumPy batch distances
     per descent level) — the reference's dominant cost (350 s for 20k rows,
     methodology docs) drops to seconds.
@@ -251,6 +254,132 @@ def cap_fanout(
     )
 
 
+def node_depths(kids: list, root: int) -> np.ndarray:
+    """BFS depth of every node (root = 0); -1 for unreachable nodes."""
+    m = len(kids)
+    depth = np.full(m, -1, np.int64)
+    depth[root] = 0
+    frontier = [root]
+    while frontier:
+        nxt: list = []
+        for v in frontier:
+            dv = depth[v] + 1
+            for c in kids[v]:
+                depth[c] = dv
+                nxt.append(c)
+        frontier = nxt
+    return depth
+
+
+def exact_subtree_radii(
+    xs: np.ndarray, point_ids: np.ndarray, kids: list, root: int
+) -> np.ndarray:
+    """Exact bottom-up subtree cover radii: ``r(v) = max_c d(v,c) + r(c)``.
+
+    Replaces the analytic ``2^(level+1)`` bound. Two reasons:
+
+    * **Soundness.** The build decides containment with matmul-expanded
+      distances (bf16 inputs on TPU MXU, cancellation under f32 on CPU), so
+      the cover invariant ``d(parent, child) <= 2^level(parent)`` can be
+      violated by the distance error — measured: stored/needed radius ratio
+      up to 1.47x on a 20k random build. The search's pruning bound would
+      then be unsound (silently inexact results — no overflow flag). The
+      bottom-up recomputation uses cancellation-free f64 diff-form
+      distances rounded *up* to f32, so the stored radius provably covers
+      the subtree regardless of how the tree was assembled.
+    * **Tightness.** ``2^(level+1)`` is the worst-case chain bound; actual
+      subtrees are much smaller (median exact/analytic ratio 0.49 on the
+      same build), which directly strengthens the ``d - r > kth`` prune.
+
+    Reference guarantee semantics preserved: the pruning inequality is the
+    reference's (covertree_v2_2.py:419-500) with a per-node computed bound
+    in place of the per-level analytic one.
+    """
+    m = len(kids)
+    depth = node_depths(kids, root)
+    radii = np.zeros(m, np.float64)
+    pid = np.asarray(point_ids, np.int64)
+    xs64 = xs.astype(np.float64)
+    # flatten parent->child edges, then process one depth at a time
+    # (deepest first), each depth as one vectorized distance + segment-max
+    par = np.concatenate(
+        [np.full(len(c), v, np.int64) for v, c in enumerate(kids) if c]
+        or [np.empty(0, np.int64)]
+    )
+    chd = np.concatenate(
+        [np.asarray(c, np.int64) for c in kids if c]
+        or [np.empty(0, np.int64)]
+    )
+    if par.size:
+        pdep = depth[par]
+        for lvl in range(int(pdep.max()), -1, -1):
+            sel = pdep == lvl
+            if not sel.any():
+                continue
+            p, c = par[sel], chd[sel]
+            diff = xs64[pid[c]] - xs64[pid[p]]
+            d = np.sqrt(np.einsum("ij,ij->i", diff, diff))
+            np.maximum.at(radii, p, d + radii[c])
+    out = radii.astype(np.float32)
+    # round up so the f32 value still covers the f64 bound
+    bump = out < radii
+    out[bump] = np.nextafter(out[bump], np.float32(np.inf))
+    return out
+
+
+def depth_slab_layout(
+    xs: np.ndarray,
+    point_ids: np.ndarray,
+    radii: np.ndarray,
+    is_real: np.ndarray,
+    kids: list,
+    root: int,
+):
+    """Reorder the tree depth-major so every BFS depth is one contiguous
+    slab block and each node records its parent's position *within the
+    parent's depth block*.
+
+    This is what lets the stream search (ops/covertree.py:
+    covertree_stream_search) process a whole depth as a static slice +
+    dense MXU matmul with zero gathers. Returns
+    ``(slab [M,d], point_id [M], radius [M], is_real [M], parent_rel [M],
+    row_pos [N], depth_sizes)``.
+    """
+    m = len(kids)
+    depth = node_depths(kids, root)
+    order = np.argsort(depth, kind="stable")  # depth-major
+    pos = np.empty(m, np.int64)
+    pos[order] = np.arange(m)
+    depth_sizes = np.bincount(depth[depth >= 0]).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(depth_sizes)])
+
+    parent = np.full(m, -1, np.int64)
+    for v, c in enumerate(kids):
+        if c:
+            parent[np.asarray(c, np.int64)] = v
+    parent_rel = np.zeros(m, np.int64)
+    nonroot = parent >= 0
+    parent_rel[nonroot] = (
+        pos[parent[nonroot]] - starts[depth[parent[nonroot]]]
+    )
+
+    pid = np.asarray(point_ids, np.int64)[order]
+    slab = np.ascontiguousarray(xs[pid], np.float32)
+    real = np.asarray(is_real, bool)[order]
+    n = xs.shape[0]
+    row_pos = np.empty(n, np.int64)
+    row_pos[pid[real]] = np.flatnonzero(real)
+    return (
+        slab,
+        pid.astype(np.int32),
+        np.asarray(radii, np.float32)[order],
+        real,
+        parent_rel[order].astype(np.int32),
+        row_pos.astype(np.int32),
+        tuple(int(s) for s in depth_sizes),
+    )
+
+
 class CoverTree(BaseAlgorithm):
     """Exact k-NN cover tree (reference ``CoverTreeV2_2`` equivalent)."""
 
@@ -259,9 +388,11 @@ class CoverTree(BaseAlgorithm):
         dimension: int,
         metric: str = "l2",
         seed: int = 0,
-        f_max: int = 4096,
-        expand: int = 64,  # wide expansion amortises per-iteration gathers
+        f_max: int = 4096,  # legacy frontier-descent knob (accepted, unused)
+        expand: int = 64,  # legacy frontier-descent knob (accepted, unused)
         max_fanout: int = 64,
+        kprime: int = 0,  # candidate overfetch; 0 -> max(2k, k+256)
+        err_c: float = ctops.DEFAULT_ERR_C,
         **params: Any,
     ):
         super().__init__(dimension=dimension, metric=metric, **params)
@@ -270,6 +401,9 @@ class CoverTree(BaseAlgorithm):
         self.f_max = int(f_max)
         self.expand = int(expand)
         self.max_fanout = int(max_fanout)
+        self.kprime = int(kprime)
+        self.err_c = float(err_c)
+        self._ndis_per_query = 0.0
         self.artifact: Optional[IndexArtifact] = None
 
     # -- build ----------------------------------------------------------
@@ -282,39 +416,44 @@ class CoverTree(BaseAlgorithm):
         point_ids, radii, is_real, kids = cap_fanout(
             x, levels, child_lists, cap=self.max_fanout
         )
-        m = len(point_ids)
-        max_c = max(max((len(c) for c in kids), default=1), 1)
-        children = np.full((m, max_c), -1, dtype=np.int32)
-        for i, c in enumerate(kids):
-            if c:
-                children[i, : len(c)] = c
-        has_children = children[:, 0] >= 0
+        # replace analytic 2^(level+1) bounds with exact (and ~2x tighter)
+        # bottom-up subtree radii — see exact_subtree_radii
+        radii = exact_subtree_radii(x, point_ids, kids, root)
+        slab, pid, rad, real, prel, row_pos, depth_sizes = depth_slab_layout(
+            x, point_ids, radii, is_real, kids, root
+        )
         self.artifact = IndexArtifact(
             "covertree",
             jax.block_until_ready(
                 {
-                    "vectors": jnp.asarray(x),
-                    "point_ids": jnp.asarray(point_ids),
-                    "is_real": jnp.asarray(is_real),
-                    "radii": jnp.asarray(radii),
-                    "children": jnp.asarray(children),
-                    "has_children": jnp.asarray(has_children),
+                    "slab": jnp.asarray(slab),
+                    "point_ids": jnp.asarray(pid),
+                    "is_real": jnp.asarray(real),
+                    "radii": jnp.asarray(rad),
+                    "parent_rel": jnp.asarray(prel),
+                    "row_pos": jnp.asarray(row_pos),
                 }
             ),
             {
                 "metric": self.metric,
                 "dimension": int(x.shape[1]),
                 "n_vectors": int(x.shape[0]),
-                "n_nodes": int(m),
-                "root": int(root),
-                "max_children": int(max_c),
+                "n_nodes": int(len(pid)),
+                "depth_sizes": [int(s) for s in depth_sizes],
                 "algorithm": "CoverTree",
-                "schema": "covertree_v2",
+                "schema": "covertree_v3",
             },
         )
         self.is_built = True
 
     # -- search ---------------------------------------------------------
+    def _kprime(self, eff_k: int, n: int) -> int:
+        # +256 sized so the certificate margin (t - kth^2 vs the 4*err_c
+        # band) holds on crowded data: measured 0/200 failures at the
+        # msmarco shape vs 2/200 at +64 (scripts/exp_covertree_profile.py)
+        kp = self.kprime if self.kprime > 0 else max(2 * eff_k, eff_k + 256)
+        return min(kp, n)
+
     def batch_search(
         self, queries: np.ndarray, k: int
     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -331,29 +470,30 @@ class CoverTree(BaseAlgorithm):
         q = jnp.asarray(padded)
         n = meta["n_vectors"]
         eff_k = min(k, n)
-        f_max = min(self.f_max, max(meta.get("n_nodes", n), 8))
-        res = ctops.covertree_search(
+        res = ctops.covertree_stream_search(
             q,
-            data["vectors"],
+            data["slab"],
             data["point_ids"],
             data["is_real"],
             data["radii"],
-            data["children"],
-            data["has_children"],
-            meta["root"],
-            eff_k,
-            f_max=f_max,
-            expand=min(self.expand, f_max),
+            data["parent_rel"],
+            depth_sizes=tuple(meta["depth_sizes"]),
+            k=eff_k,
+            kprime=self._kprime(eff_k, n),
+            err_c=self.err_c,
         )
         out_d = np.asarray(res.dists)[:b].copy()
         out_i = np.asarray(res.ids)[:b].astype(np.int64)
-        self.record_operation("ndis", int(np.asarray(res.ndis)[:b].sum()))
+        ndis = int(np.asarray(res.ndis)[:b].sum())
+        self.record_operation("ndis", ndis)
+        self._ndis_per_query = ndis / max(b, 1)
 
         overflow = np.asarray(res.overflow)[:b]
-        if overflow.any():  # exactness guarantee: re-run overflowed rows
+        if overflow.any():  # exactness guarantee: re-run flagged rows
+            vectors = data["slab"][data["row_pos"]]  # [N, d] db rows
             fb_np, n_short = pad_batch(q_np[overflow])
             fd, fi = dops.exact_search(
-                jnp.asarray(fb_np), data["vectors"], eff_k, metric="l2",
+                jnp.asarray(fb_np), vectors, eff_k, metric="l2",
                 refine=True,
             )
             out_d[overflow] = np.sqrt(np.maximum(np.asarray(fd)[:n_short], 0.0))
@@ -367,6 +507,61 @@ class CoverTree(BaseAlgorithm):
             out_d = np.pad(out_d, ((0, 0), (0, k - eff_k)), constant_values=np.inf)
             out_i = np.pad(out_i, ((0, 0), (0, k - eff_k)), constant_values=-1)
         return out_d, out_i
+
+    def device_kernel(self, qd: "jnp.ndarray", k: int):
+        """Traceable search kernel for the fused timing path.
+
+        Exactness is preserved under trace: when the blockmin-style
+        certificate fails for any query in the batch (band too tight —
+        essentially never at the default err_c), a ``lax.cond`` falls back
+        to the exact MXU scan for the whole batch, so fused-mode results
+        are exact without a host round-trip."""
+        meta = self.artifact.metadata
+        data = self.artifact.data
+        if self.metric == "cosine":
+            qd = dops.normalize(qd)
+        n = meta["n_vectors"]
+        eff_k = min(k, n)
+        res = ctops.covertree_stream_search(
+            qd,
+            data["slab"],
+            data["point_ids"],
+            data["is_real"],
+            data["radii"],
+            data["parent_rel"],
+            depth_sizes=tuple(meta["depth_sizes"]),
+            k=eff_k,
+            kprime=self._kprime(eff_k, n),
+            err_c=self.err_c,
+        )
+
+        def _exact(_):
+            vectors = data["slab"][data["row_pos"]]
+            fd, fi = dops.exact_search(
+                qd, vectors, eff_k, metric="l2", refine=True
+            )
+            return jnp.sqrt(jnp.maximum(fd, 0.0)), fi.astype(jnp.int32)
+
+        def _stream(_):
+            return res.dists, res.ids
+
+        out_d, out_i = jax.lax.cond(
+            jnp.any(res.overflow), _exact, _stream, operand=None
+        )
+        if self.metric == "cosine":
+            out_d = (out_d ** 2) / 2.0 - 1.0
+        return out_d, out_i
+
+    @property
+    def has_device_kernel(self) -> bool:
+        return self.is_built and self.artifact is not None
+
+    def record_stream_ops(self, n_queries: int) -> None:
+        """Op accounting for the fused path (which bypasses batch_search):
+        uses the measured per-query ``ndis`` from the warm-up batch."""
+        self.record_operation(
+            "ndis", int(self._ndis_per_query * int(n_queries))
+        )
 
     # -- persistence (reference covertree_v2_2.py:101-282) --------------
     def save_index(self, path: str, context: Optional[Dict[str, Any]] = None) -> None:
@@ -388,10 +583,23 @@ class CoverTree(BaseAlgorithm):
                 f"dimension mismatch: saved {art.metadata.get('dimension')} "
                 f"!= configured {self.dimension}"
             )
+        if art.metadata.get("schema") != "covertree_v3":
+            raise ValueError(
+                f"schema mismatch: saved {art.metadata.get('schema')!r} "
+                "!= 'covertree_v3' (rebuild required: the depth-major "
+                "stream layout replaced the padded-children layout)"
+            )
         self.artifact = art
         self.is_built = True
 
     def get_parameters(self) -> Dict[str, Any]:
         p = super().get_parameters()
-        p.update({"f_max": self.f_max, "expand": self.expand})
+        p.update(
+            {
+                "descent": "stream",
+                "kprime": self.kprime,
+                "err_c": self.err_c,
+                "max_fanout": self.max_fanout,
+            }
+        )
         return p
