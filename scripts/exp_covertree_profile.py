@@ -32,6 +32,7 @@ def main() -> None:
     ap.add_argument("--queries", type=int, default=512)
     ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--dataset", default="msmarco_surrogate")
+    ap.add_argument("--subdir", default=None)
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -43,7 +44,12 @@ def main() -> None:
 
     enable_compilation_cache()
 
-    ds = Dataset(args.dataset, options={"n_train": args.n}).load()
+    opts = {"n_train": args.n}
+    if args.subdir:
+        opts["subdir"] = args.subdir
+        opts["test_size"] = args.queries
+        opts["ground_truth_k"] = args.k
+    ds = Dataset(args.dataset, options=opts).load()
     x = np.asarray(ds.train_vectors[: args.n], np.float32)
     q = np.asarray(ds.test_vectors[: args.queries], np.float32)
     print(f"dataset {args.dataset}: corpus {x.shape} queries {q.shape} "
