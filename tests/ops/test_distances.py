@@ -124,6 +124,30 @@ def test_blockmin_pathological_ties(rng):
         assert len(set(row.tolist())) == 250
 
 
+def test_blockmin_wide_widths_match_dense(rng):
+    """The certificate holds at any block width: w in {16, 32} (the
+    large-N selection optimisation) must return the same result sets."""
+    x = rng.standard_normal((3000, 24)).astype(np.float32)
+    q = rng.standard_normal((8, 24)).astype(np.float32)
+    full = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    want = np.sort(full, axis=1)[:, :25]
+    for w in (16, 32):
+        bd, bi = dops._exact_search_blockmin(
+            jnp.asarray(q), jnp.asarray(x), None, 25, "l2", 512, w=w
+        )
+        got = np.take_along_axis(full, np.asarray(bi), 1)
+        np.testing.assert_allclose(np.sort(got, 1), want, rtol=1e-3, atol=1e-4)
+
+
+def test_blockmin_width_rule():
+    """Width ramps 8 -> 32 with N (v5e sweep, exp_blockmin_width.py)."""
+    assert dops.blockmin_width(100_000) == 8
+    assert dops.blockmin_width(262_144) == 8
+    assert dops.blockmin_width(600_000) == 16
+    assert dops.blockmin_width(1_000_000) == 32
+    assert dops.blockmin_width(100_000_000) == 32
+
+
 def test_exact_paths_agree_randomized(rng):
     """Randomized shapes: dense / streamed / blockmin return the same
     result sets (distance-compared)."""

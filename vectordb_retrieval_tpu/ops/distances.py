@@ -313,6 +313,24 @@ def _exact_search_streamed(
 REFINE_OVERFETCH = 16
 _BLOCKMIN_WIDTH = 8
 _BLOCKMIN_SLACK = 16
+# Selection over the [B, N/w] blockmin matrix is the blockmin path's
+# bottleneck at large N (stage-split: scan 10 ms vs full 28 ms at 1M —
+# scripts/exp_blockmin_stages.py); the certificate holds at ANY width, so
+# wider blocks trade (k+slack)*w rescore rows for an N/w-times-narrower
+# selection. v5e sweep (scripts/exp_blockmin_width.py): 100k x 384d k=20
+# optimum w=8 (4.10 ms), 1M x 128d k=100 optimum w=32 (17.7 ms vs 27.1 at
+# w=8, bit-exact); w=64+ loses everywhere (rescore-bound). The rule below
+# keeps the blockmin row width near 32k columns, the knee of the
+# selection cost, clamped to the measured-good [8, 32] range.
+_BLOCKMIN_WIDTH_CAP = 32
+
+
+def blockmin_width(n: int) -> int:
+    """Empirically-optimal blockmin width for an ``n``-row database."""
+    w = _BLOCKMIN_WIDTH
+    while w < _BLOCKMIN_WIDTH_CAP and n > 32_768 * w:
+        w *= 2
+    return w
 
 
 @functools.partial(
@@ -436,5 +454,6 @@ def exact_search(
     b = queries.shape[0]
     budget = max(4096, (1 << 26) // max(b, 1))
     return _exact_search_blockmin(
-        queries, database, db_sqnorms, k, metric, min(chunk_rows, budget)
+        queries, database, db_sqnorms, k, metric, min(chunk_rows, budget),
+        w=blockmin_width(n),
     )
