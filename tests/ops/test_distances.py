@@ -143,7 +143,8 @@ def test_blockmin_width_rule():
     """Width ramps 8 -> 32 with N (v5e sweep, exp_blockmin_width.py)."""
     assert dops.blockmin_width(100_000) == 8
     assert dops.blockmin_width(262_144) == 8
-    assert dops.blockmin_width(600_000) == 16
+    assert dops.blockmin_width(524_288) == 16
+    assert dops.blockmin_width(600_000) == 32
     assert dops.blockmin_width(1_000_000) == 32
     assert dops.blockmin_width(100_000_000) == 32
 
