@@ -75,9 +75,13 @@ class GraphIndexer(BaseIndexer):
         # node mode: HNSW inserts links BIDIRECTIONALLY; the RNG-pruned
         # kNN graph leaves boundary rows with no incoming edge — a hard
         # recall ceiling (0.930 at any efSearch on the glove-shaped
-        # surrogate) that ops/graph.add_reverse_edges removes (0.961 at
-        # rev=M). -1 resolves to M (half the forward degree 2M).
-        self.reverse_edges = int(M if reverse_edges < 0 else reverse_edges)
+        # surrogate) that ops/graph.add_reverse_edges removes. -1 resolves
+        # to 2M (full forward degree): the glove-surrogate sweep
+        # (scripts/exp_glove_geometry.py) measured rev=2M at 0.9840 vs
+        # rev=M at 0.9727 under the same ef=125/iters=4 geometry — the
+        # rev=M default was the round-3 committed row's 0.9602-vs-0.9750
+        # reference gap; richer backlinks close it for 1.33x table memory.
+        self.reverse_edges = int(2 * M if reverse_edges < 0 else reverse_edges)
         self.efConstruction = int(efConstruction)
         self.efSearch = int(efSearch)
         self.n_entry = int(n_entry)  # 0 = auto (scales with N)
@@ -343,7 +347,12 @@ def beam_geometry(n: int, degree: int, ef_search: int, k: int):
     ef = min(ef, n)
     expand = min(max(8, min(ef, 1536 // max(degree, 1))), ef)
     keep = max(k, (3 * ef) // 4)
-    iters = 3 + (n > 50_000) + (n > 500_000)
+    # 4 base iterations: the glove-surrogate sweep (exp_glove_geometry.py)
+    # showed the 3-iteration beam is budget-starved well short of its
+    # graph's reachable recall (0.974 -> 0.984 at iters=4, rev=2M), and
+    # sub-50k QPS columns are tunnel-dispatch-floor-bound so the extra
+    # wave is ~free in committed rows.
+    iters = 4 + (n > 50_000) + (n > 500_000)
     iters = max(iters, -(-ef // keep) + 1)
     return ef, expand, keep, iters
 
