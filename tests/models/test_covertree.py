@@ -194,3 +194,52 @@ def test_covertree_duplicate_points(rng):
     algo.build_index(x)
     d, i = algo.batch_search(x[:5], 1)
     np.testing.assert_allclose(d[:, 0], 0.0, atol=1e-3)
+
+
+def test_stream_multichunk_and_alignment(rng, monkeypatch):
+    """Exactness must survive chunked depth walks: shrink the stream chunk
+    so deep depths split across several chunks (and partial tail chunks),
+    exercising the block-aligned layout contract (every chunk start is a
+    multiple of the blockmin width) and the cross-chunk kth-bound fold."""
+    from vectordb_retrieval_tpu.ops import covertree as ctops
+
+    monkeypatch.setattr(ctops, "_STREAM_CHUNK", 64)
+    x, q = _data(rng, n=700, d=12, nq=9)
+    algo = get_algorithm_instance("covertree", 12)
+    algo.build_index(x)
+    # layout contract: padded depth sizes, aligned offsets
+    sizes = algo.artifact.metadata["depth_sizes"]
+    assert all(s % ctops.SLAB_ALIGN == 0 for s in sizes)
+    assert sum(sizes) == int(algo.artifact.data["slab"].shape[0])
+    d, i = algo.batch_search(q, 8)
+    full = np.sqrt(((q[:, None, :] - x[None, :, :]) ** 2).sum(-1))
+    oracle_d = np.sort(full, axis=1)[:, :8]
+    np.testing.assert_allclose(np.sort(d, 1), oracle_d, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        d, np.take_along_axis(full, i, 1), rtol=1e-3, atol=1e-3
+    )
+    # pad rows are inert: ndis never exceeds real scored work
+    assert algo.get_operations()["ndis"] <= 9 * sum(sizes)
+
+
+def test_stream_rejects_unaligned_layout(rng):
+    """Direct ops-level callers must get a clear error for unaligned
+    depth blocks rather than silently mis-mapped candidate blocks."""
+    import jax.numpy as jnp
+
+    from vectordb_retrieval_tpu.ops import covertree as ctops
+
+    m, d = 72, 8
+    x = jnp.asarray(rng.standard_normal((m, d)), jnp.float32)
+    with pytest.raises(ValueError, match="not aligned"):
+        ctops.covertree_stream_search(
+            x[:4],
+            x,
+            jnp.arange(m, dtype=jnp.int32),
+            jnp.ones((m,), bool),
+            jnp.zeros((m,), jnp.float32),
+            jnp.zeros((m,), jnp.int32),
+            depth_sizes=(1, 71),
+            k=3,
+            kprime=8,
+        )

@@ -16,9 +16,10 @@ TPU-first re-design:
     (ops/covertree.py: covertree_stream_search): each depth is a static
     slab slice scored with one dense MXU matmul, the pruned/alive state
     propagates parent->child as a boolean mask, and the final top-k is
-    exactly rescored from the top-K' candidates under a blockmin-style
-    certificate; queries whose certificate fails fall back to the exact
-    MXU scan, so results are always exact;
+    exactly rescored from the top candidate BLOCKS under the blockmin
+    certificate (one selection per search, not per chunk); queries whose
+    certificate fails fall back to the exact MXU scan, so results are
+    always exact;
   * build is a host-side vectorized insertion loop (NumPy batch distances
     per descent level) — the reference's dominant cost (350 s for 20k rows,
     methodology docs) drops to seconds.
@@ -334,49 +335,76 @@ def depth_slab_layout(
     is_real: np.ndarray,
     kids: list,
     root: int,
+    align: int = ctops.SLAB_ALIGN,
 ):
     """Reorder the tree depth-major so every BFS depth is one contiguous
     slab block and each node records its parent's position *within the
     parent's depth block*.
 
+    Every depth block is padded to a multiple of ``align`` with inert
+    padding rows (zero vector, ``is_real=False``, ``radius=-1``) so that
+    chunk starts inside the stream search are always blockmin-aligned and
+    candidate blocks are contiguous ``[w, d]`` slabs for whole-block
+    gathers (ops/covertree.py module docstring). Padding rows are never
+    referenced as parents, are alive-masked by their negative radius, and
+    cost <= (align-1) * n_depths slab rows (~KBs).
+
     This is what lets the stream search (ops/covertree.py:
     covertree_stream_search) process a whole depth as a static slice +
-    dense MXU matmul with zero gathers. Returns
-    ``(slab [M,d], point_id [M], radius [M], is_real [M], parent_rel [M],
-    row_pos [N], depth_sizes)``.
+    dense MXU matmul with zero gathers and finish with one blockmin
+    selection. Returns ``(slab [M,d], point_id [M], radius [M],
+    is_real [M], parent_rel [M], row_pos [N], depth_sizes)`` where all
+    ``[M]`` arrays are padded and ``depth_sizes`` are the padded widths.
     """
     m = len(kids)
     depth = node_depths(kids, root)
-    order = np.argsort(depth, kind="stable")  # depth-major
-    pos = np.empty(m, np.int64)
-    pos[order] = np.arange(m)
+    order = np.argsort(depth, kind="stable")  # depth-major, real nodes only
     depth_sizes = np.bincount(depth[depth >= 0]).astype(np.int64)
-    starts = np.concatenate([[0], np.cumsum(depth_sizes)])
+    padded_sizes = ((depth_sizes + align - 1) // align) * align
+    starts_real = np.concatenate([[0], np.cumsum(depth_sizes)])
+    starts_pad = np.concatenate([[0], np.cumsum(padded_sizes)])
+    m_pad = int(padded_sizes.sum())
+
+    # slab position of each node: its rank within its depth block, offset
+    # by the padded start of that depth
+    rank = np.empty(m, np.int64)
+    rank[order] = np.arange(m)
+    slabpos = starts_pad[depth] + (rank - starts_real[depth])
 
     parent = np.full(m, -1, np.int64)
     for v, c in enumerate(kids):
         if c:
             parent[np.asarray(c, np.int64)] = v
-    parent_rel = np.zeros(m, np.int64)
     nonroot = parent >= 0
-    parent_rel[nonroot] = (
-        pos[parent[nonroot]] - starts[depth[parent[nonroot]]]
-    )
 
-    pid = np.asarray(point_ids, np.int64)[order]
-    slab = np.ascontiguousarray(xs[pid], np.float32)
-    real = np.asarray(is_real, bool)[order]
+    dim = xs.shape[1]
+    pid_arr = np.zeros(m_pad, np.int64)
+    rad_arr = np.full(m_pad, -1.0, np.float32)  # <0 marks padding rows
+    real_arr = np.zeros(m_pad, bool)
+    prel_arr = np.zeros(m_pad, np.int64)
+    slab = np.zeros((m_pad, dim), np.float32)
+
+    pid = np.asarray(point_ids, np.int64)
+    pid_arr[slabpos] = pid
+    rad_arr[slabpos] = np.asarray(radii, np.float32)
+    real_arr[slabpos] = np.asarray(is_real, bool)
+    prel_arr[slabpos[nonroot]] = (
+        slabpos[parent[nonroot]] - starts_pad[depth[parent[nonroot]]]
+    )
+    slab[slabpos] = xs[pid]
+
     n = xs.shape[0]
     row_pos = np.empty(n, np.int64)
-    row_pos[pid[real]] = np.flatnonzero(real)
+    real_nodes = np.asarray(is_real, bool)
+    row_pos[pid[real_nodes]] = slabpos[real_nodes]
     return (
         slab,
-        pid.astype(np.int32),
-        np.asarray(radii, np.float32)[order],
-        real,
-        parent_rel[order].astype(np.int32),
+        pid_arr.astype(np.int32),
+        rad_arr,
+        real_arr,
+        prel_arr.astype(np.int32),
         row_pos.astype(np.int32),
-        tuple(int(s) for s in depth_sizes),
+        tuple(int(s) for s in padded_sizes),
     )
 
 
@@ -391,7 +419,7 @@ class CoverTree(BaseAlgorithm):
         f_max: int = 4096,  # legacy frontier-descent knob (accepted, unused)
         expand: int = 64,  # legacy frontier-descent knob (accepted, unused)
         max_fanout: int = 64,
-        kprime: int = 0,  # candidate overfetch; 0 -> max(2k, k+256)
+        kprime: int = 0,  # kth-bound fold width; 0 -> max(2k, k+256)
         err_c: float = ctops.DEFAULT_ERR_C,
         **params: Any,
     ):
@@ -441,16 +469,18 @@ class CoverTree(BaseAlgorithm):
                 "n_nodes": int(len(pid)),
                 "depth_sizes": [int(s) for s in depth_sizes],
                 "algorithm": "CoverTree",
-                "schema": "covertree_v3",
+                "schema": "covertree_v4",
             },
         )
         self.is_built = True
 
     # -- search ---------------------------------------------------------
     def _kprime(self, eff_k: int, n: int) -> int:
-        # +256 sized so the certificate margin (t - kth^2 vs the 4*err_c
-        # band) holds on crowded data: measured 0/200 failures at the
-        # msmarco shape vs 2/200 at +64 (scripts/exp_covertree_profile.py)
+        # fold width of the running kth upper bound (ops/covertree.py).
+        # Wider = fewer slot collisions = tighter bound = more pruning;
+        # collisions only loosen the bound (sound either way). +256 keeps
+        # the expected collision count among the true top-k negligible
+        # (~k^2/2F) at the roster shapes.
         kp = self.kprime if self.kprime > 0 else max(2 * eff_k, eff_k + 256)
         return min(kp, n)
 
@@ -583,11 +613,11 @@ class CoverTree(BaseAlgorithm):
                 f"dimension mismatch: saved {art.metadata.get('dimension')} "
                 f"!= configured {self.dimension}"
             )
-        if art.metadata.get("schema") != "covertree_v3":
+        if art.metadata.get("schema") != "covertree_v4":
             raise ValueError(
                 f"schema mismatch: saved {art.metadata.get('schema')!r} "
-                "!= 'covertree_v3' (rebuild required: the depth-major "
-                "stream layout replaced the padded-children layout)"
+                "!= 'covertree_v4' (rebuild required: the block-aligned "
+                "depth-major layout replaced the unaligned v3 layout)"
             )
         self.artifact = art
         self.is_built = True
