@@ -353,3 +353,20 @@ def test_block_geometry_mapping_anchors():
     # small-N cap: probes clamp at n_blocks
     efb, expand, iters = block_geometry(40, 400, 10, block_len=128)
     assert expand * iters <= 40 + expand  # one wave of slack at most
+
+
+def test_block_size_auto_dma_knee_rule():
+    """Auto block size coarsens to 256 rows exactly when a 128-row slab
+    would sit under the 64 KB DMA-issue knee (scripts/exp_slab_ring.py;
+    A/B evidence: round3_sift_block256_probe)."""
+    from vectordb_retrieval_tpu.models.graph import GraphIndexer
+
+    gi = GraphIndexer(metric="l2", mode="block")  # bf16 slabs by default
+    assert gi._block_geom(1_000_000, 128)[0] == -(-1_000_000 // 256)
+    assert gi._block_geom(100_000, 384)[0] == -(-100_000 // 128)
+    # f32 slabs at d=128 are already at the knee -> stay fine-grained
+    gi32 = GraphIndexer(metric="l2", mode="block", slab_dtype="f32")
+    assert gi32._block_geom(1_000_000, 128)[0] == -(-1_000_000 // 128)
+    # explicit override always wins
+    gi_fix = GraphIndexer(metric="l2", mode="block", block_size=128)
+    assert gi_fix._block_geom(1_000_000, 128)[0] == -(-1_000_000 // 128)

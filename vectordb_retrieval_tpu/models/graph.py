@@ -108,7 +108,7 @@ class GraphIndexer(BaseIndexer):
         # round 3). auto resolves to the measured default.
         self.slab_dtype = _DEFAULT_SLAB_DTYPE if slab_dtype == "auto" else slab_dtype
 
-    def _block_geom(self, n: int):
+    def _block_geom(self, n: int, d: int):
         # default 128-row blocks: on fat-tailed (radius-heterogeneous)
         # corpora fine blocks are decisively more row-efficient at the
         # high-recall end (+0.010 recall at equal rows scanned vs 256-row
@@ -116,8 +116,19 @@ class GraphIndexer(BaseIndexer):
         # geometry (block_geometry: up-to-96-slab waves, <=2-3
         # iterations) recovers the per-probe overhead that used to favour
         # coarse blocks — measured 0.9869 @ 8.3k QPS vs the coarse-block
-        # best of 0.983 @ 6.8k at the same shape
-        block = self.block_size or 128
+        # best of 0.983 @ 6.8k at the same shape.
+        # EXCEPT when a 128-row slab falls under the DMA-issue knee: the
+        # manual slab ring is issue-bound (flat ~230 GB/s) on <64 KB
+        # copies (scripts/exp_slab_ring.py), so narrow-d shapes coarsen
+        # to 256 rows — measured A/B at the SIFT shape
+        # (round3_sift_block256_probe): the 256-row frontier dominates at
+        # the high-recall end (0.9919 @ 28.9k QPS at ef64 vs the 128-row
+        # 0.9930 @ 14.1k), and one wave replaces two at ef>=64.
+        if self.block_size:
+            block = self.block_size
+        else:
+            itemsize = 2 if self.slab_dtype == "bf16" else 4
+            block = 256 if 128 * d * itemsize < 65536 else 128
         n_blocks = max(1, -(-n // block))
         # entry-graph degree 8: the push's adjacency/blocks/cd gathers
         # scale with W*R, and with 96-slab waves a degree-8 graph already
@@ -131,7 +142,7 @@ class GraphIndexer(BaseIndexer):
     def _build_block(self, x: jax.Array, dimension: int) -> IndexArtifact:
         """Memory-parity large-N layout (ops/graph.build_block_graph)."""
         n = x.shape[0]
-        n_blocks, degree = self._block_geom(n)
+        n_blocks, degree = self._block_geom(n, int(x.shape[1]))
         parts = gops.build_block_graph(
             x, n_blocks, degree, seed=self.seed, spill=self.spill,
             slab_dtype=self.slab_dtype,
@@ -144,7 +155,7 @@ class GraphIndexer(BaseIndexer):
         O(chunk), device peak O(corpus) (the resident build transiently
         needs 2x corpus HBM for the slab gather)."""
         n = int(store.shape[0])
-        n_blocks, degree = self._block_geom(n)
+        n_blocks, degree = self._block_geom(n, dimension)
         parts = gops.build_block_graph_stream(
             store, n_blocks, degree, seed=self.seed,
             normalize=self.metric == "cosine", spill=self.spill,
