@@ -99,6 +99,7 @@ class FactoryIndexer(BaseIndexer):
         list_dtype: str = "bf16",
         exact_rescore: bool = False,
         bucket_len: int = 0,
+        pq_rotations: int = 0,
         **params: Any,
     ):
         super().__init__(metric=metric, **params)
@@ -121,6 +122,11 @@ class FactoryIndexer(BaseIndexer):
         # candidates (recovers the ~0.5% recall bf16 scoring noise costs, at
         # +1x corpus memory — the memory-parity default skips it)
         self.exact_rescore = bool(exact_rescore)
+        # per-list block-diagonal residual rotations for IVF-PQ (block
+        # size in dims; 0 = off). Beyond the FAISS grammar: aligns each
+        # list's residual frame to the SHARED codebook
+        # (ops/pq.train_per_list_rotations); storage [nlist, d/bs, bs, bs].
+        self.pq_rotations = int(pq_rotations)
 
     def build(self, vectors: np.ndarray, dimension: int) -> IndexArtifact:
         spec = parse_index_key(self.index_key)
@@ -261,10 +267,19 @@ class FactoryIndexer(BaseIndexer):
             m = spec["m"]
             meta["m"] = m
             s_assign = kmeans_assign(sample, centroids)
-            codebooks = pqops.pq_train(
-                sample - centroids[s_assign], m,
-                seed=self.seed + 1, iters=self.train_iters,
-            )
+            rots = None
+            if self.pq_rotations:
+                meta["pq_rot_bs"] = self.pq_rotations
+                rots, codebooks = pqops.train_per_list_rotations(
+                    sample - centroids[s_assign], s_assign, nlist, m,
+                    self.pq_rotations,
+                    seed=self.seed + 1, iters=self.train_iters,
+                )
+            else:
+                codebooks = pqops.pq_train(
+                    sample - centroids[s_assign], m,
+                    seed=self.seed + 1, iters=self.train_iters,
+                )
             code_w = m
         else:
             vmin, step = sqops.sq_train(sample)
@@ -282,7 +297,10 @@ class FactoryIndexer(BaseIndexer):
             a = kmeans_assign(dev, centroids)
             if spec["coding"] == "pq":
                 residuals = dev - centroids[a]
-                c = pqops.pq_encode(residuals, codebooks)
+                if rots is not None:
+                    c = pqops.pq_encode_rotated(residuals, a, rots, codebooks)
+                else:
+                    c = pqops.pq_encode(residuals, codebooks)
                 sn = pqops.pq_code_sqnorms(c, codebooks)
             else:
                 c = sqops.sq_encode(dev, vmin, step)
@@ -354,6 +372,8 @@ class FactoryIndexer(BaseIndexer):
         }
         if spec["coding"] == "pq":
             data["codebooks"] = codebooks
+            if rots is not None:
+                data["list_rotations"] = rots
             kind = "ivf_pq"
         else:
             data["vmin"] = vmin
@@ -424,13 +444,32 @@ class FactoryIndexer(BaseIndexer):
         elif spec["coding"] == "pq":
             m = spec["m"]
             meta["m"] = m
-            residuals = x - centroids[jnp.asarray(assignments)]
+            assign_dev = jnp.asarray(assignments)
+            residuals = x - centroids[assign_dev]
             r_sample = training_sample(n, 256, self.seed + 1)
-            train_r = residuals if r_sample is None else residuals[r_sample]
-            codebooks = pqops.pq_train(
-                train_r, m, seed=self.seed, iters=self.train_iters
-            )
-            codes = pqops.pq_encode(residuals, codebooks)
+            if self.pq_rotations:
+                bs = self.pq_rotations
+                meta["pq_rot_bs"] = bs
+                tr_r = residuals if r_sample is None else residuals[r_sample]
+                tr_a = (
+                    assign_dev if r_sample is None else assign_dev[r_sample]
+                )
+                rots, codebooks = pqops.train_per_list_rotations(
+                    tr_r, tr_a, nlist, m, bs,
+                    seed=self.seed, iters=self.train_iters,
+                )
+                codes = pqops.pq_encode_rotated(
+                    residuals, assign_dev, rots, codebooks
+                )
+                data["list_rotations"] = rots
+            else:
+                train_r = (
+                    residuals if r_sample is None else residuals[r_sample]
+                )
+                codebooks = pqops.pq_train(
+                    train_r, m, seed=self.seed, iters=self.train_iters
+                )
+                codes = pqops.pq_encode(residuals, codebooks)
             sqn = pqops.pq_code_sqnorms(codes, codebooks)
             data["codebooks"] = codebooks
             data["list_codes"] = _gather_slots(codes, slot_ids_np)
@@ -617,10 +656,17 @@ class ANNSearcher(BaseSearcher):
                 full_vectors=d.get("full_vectors"), **self._probe_kwargs(),
             )
         elif kind == "ivf_pq":
+            rot_kw = {}
+            rots = d.get("list_rotations")
+            if rots is not None:
+                rot_kw = dict(
+                    list_rotations=rots,
+                    rot_bucket_lists=d["bucket_lists"],
+                )
             dists, ids = ivfops.ivf_pq_search(
                 q, d["centroids"], d["slot_ids"], d["list_codes"],
                 d["list_sqnorms"], d["codebooks"], eff_k, self._nprobe(),
-                metric=metric, **self._probe_kwargs(),
+                metric=metric, **self._probe_kwargs(), **rot_kw,
             )
         elif kind == "graph":
             from vectordb_retrieval_tpu.models.graph import graph_artifact_search

@@ -522,15 +522,28 @@ _IVFPQ_RESIDENT_BUDGET = 512 * 1024 * 1024
 _IVFPQ_CHUNK_BUDGET = 48 * 1024 * 1024
 
 
-def _decode_lists(codes_p, cents_p, codebooks, chunk, L, d):
+def _decode_lists(codes_p, cents_p, codebooks, chunk, L, d, rot_p=None):
     """Decode padded list codes ``[chunk, L, m]`` -> bf16 ``x_hat`` + f32 norms.
 
     bf16 reconstructions: PQ quantisation error dwarfs bf16 rounding, and
     halving the bytes halves both the resident footprint and the scoring
     gather traffic. Norms are computed in f32 BEFORE the downcast.
+
+    ``rot_p [chunk, nb, bs, bs]``: per-bucket block-diagonal rotation
+    (ops/pq.train_per_list_rotations) — codes quantise ``R_l r``, so the
+    reconstruction applies ``R_l^T`` before adding the centroid. One extra
+    ``bs``-wide batched matmul fused into the decode (~``bs/256`` of the
+    one-hot decode FLOPs).
     """
-    r_hat = pqops.pq_reconstruct(codes_p.reshape(chunk * L, -1), codebooks)
-    x_hat = r_hat.reshape(chunk, L, d) + cents_p[:, None, :]
+    y_hat = pqops.pq_reconstruct(codes_p.reshape(chunk * L, -1), codebooks)
+    if rot_p is not None:
+        bs = rot_p.shape[-1]
+        yb = y_hat.reshape(chunk, L, d // bs, bs)
+        y_hat = jnp.einsum(
+            "clbe,cbef->clbf", yb, rot_p,
+            preferred_element_type=jnp.float32,
+        )
+    x_hat = y_hat.reshape(chunk, L, d) + cents_p[:, None, :]
     sqn = jnp.sum(x_hat * x_hat, axis=-1)
     return x_hat.astype(jnp.bfloat16), sqn
 
@@ -557,6 +570,8 @@ def ivf_pq_search(
     bucket_lists: jax.Array = None,  # with nlist/nprobe_lists: exact
     nlist: int = 0,                  # reference 'probe nprobe LISTS'
     nprobe_lists: int = 0,           # semantics (exact_probe_mask)
+    list_rotations: jax.Array = None,   # [nlist, nb, bs, bs] per-list
+    rot_bucket_lists: jax.Array = None,  # bucket -> list map for rotations
 ) -> Tuple[jax.Array, jax.Array]:
     """IVF-PQ with decode-on-read, in one of two transient regimes.
 
@@ -592,6 +607,13 @@ def ivf_pq_search(
     qn = jnp.sum(queries * queries, axis=-1, dtype=jnp.float32)
     b = queries.shape[0]
 
+    def _rot_chunks(n_chunks, chunk, pad):
+        """Per-chunk [chunk] bucket->list maps for the rotation gather."""
+        if list_rotations is None:
+            return None
+        bl = jnp.clip(rot_bucket_lists.astype(jnp.int32), 0, None)
+        return jnp.pad(bl, (0, pad)).reshape(n_chunks, chunk)
+
     if resident_bytes <= resident_budget:
         chunk = max(1, min(n_bkt, -(-65_536 // max(L, 1))))
         n_chunks = -(-n_bkt // chunk)
@@ -602,12 +624,29 @@ def ivf_pq_search(
         cents_p = jnp.pad(centroids, ((0, pad), (0, 0))).reshape(
             n_chunks, chunk, d
         )
+        bl_p = _rot_chunks(n_chunks, chunk, pad)
 
-        def decode(_, inp):
-            cc, cl = inp
-            return None, _decode_lists(cc, cl, codebooks, chunk, L, d)
+        if bl_p is None:
 
-        _, (recon, recon_sqn) = jax.lax.scan(decode, None, (codes_p, cents_p))
+            def decode(_, inp):
+                cc, cl = inp
+                return None, _decode_lists(cc, cl, codebooks, chunk, L, d)
+
+            _, (recon, recon_sqn) = jax.lax.scan(
+                decode, None, (codes_p, cents_p)
+            )
+        else:
+
+            def decode(_, inp):
+                cc, cl, blc = inp
+                return None, _decode_lists(
+                    cc, cl, codebooks, chunk, L, d,
+                    rot_p=list_rotations[blc],
+                )
+
+            _, (recon, recon_sqn) = jax.lax.scan(
+                decode, None, (codes_p, cents_p, bl_p)
+            )
         recon = recon.reshape(n_chunks * chunk, L, d)[:n_bkt]
         recon_sqn = recon_sqn.reshape(n_chunks * chunk, L)[:n_bkt]
         q_cast = queries.astype(recon.dtype)
@@ -670,6 +709,7 @@ def ivf_pq_search(
     slots_p = jnp.pad(
         slot_ids, ((0, pad), (0, 0)), constant_values=-1
     ).reshape(n_chunks, chunk, L)
+    bl_p = _rot_chunks(n_chunks, chunk, pad)
     q_bf = queries.astype(jnp.bfloat16)
     init = (
         jnp.full((b, k), jnp.inf, jnp.float32),
@@ -680,8 +720,9 @@ def ivf_pq_search(
 
     def step(carry, inp):
         best_d, best_i = carry
-        c_idx, cc, cl, cs = inp
-        x_hat, sqn = _decode_lists(cc, cl, codebooks, chunk, L, d)
+        c_idx, cc, cl, cs, blc = inp
+        rot_p = None if list_rotations is None else list_rotations[blc]
+        x_hat, sqn = _decode_lists(cc, cl, codebooks, chunk, L, d, rot_p)
         base = c_idx * chunk
         # probed mask: [B, chunk] — is bucket (base+j) probed by query b?
         local = probes - base  # [B, nprobe]
@@ -709,10 +750,15 @@ def ivf_pq_search(
         new_d, sel = dops.top_k_smallest(cat_d, k)
         return (new_d, jnp.take_along_axis(cat_i, sel, axis=1)), None
 
+    if bl_p is None:  # scan xs must be arrays; zero map is never read
+        bl_p = jnp.zeros((n_chunks, chunk), jnp.int32)
     (best_d, best_i), _ = jax.lax.scan(
         step,
         init,
-        (jnp.arange(n_chunks, dtype=jnp.int32), codes_p, cents_p, slots_p),
+        (
+            jnp.arange(n_chunks, dtype=jnp.int32),
+            codes_p, cents_p, slots_p, bl_p,
+        ),
     )
     return best_d, best_i
 

@@ -188,6 +188,265 @@ def pq_code_sqnorms(codes: jax.Array, codebooks: jax.Array) -> jax.Array:
     return jnp.sum(per, axis=1)
 
 
+# ---------------------------------------------------------------------------
+# Per-list block-diagonal residual rotations (IVF-PQ recall lever).
+#
+# FAISS's OPQ learns ONE global rotation; per-list residual distributions
+# under a skewed/anisotropic corpus are differently oriented, so a shared
+# residual codebook quantises tight lists at a spacing tuned for diffuse
+# ones (docs/results_round3.md section 2). Here every coarse list l gets a
+# block-diagonal orthogonal rotation R_l (nb blocks of [bs, bs]); residuals
+# encode as PQ(R_l r) against ONE shared codebook and decode-on-read
+# applies R_l^T. Storage is [nlist, nb, bs, bs] (2-8 MB at 1M-scale
+# configs — negligible next to the codes) and the decode-side cost is one
+# small batched matmul fused into the reconstruction.
+#
+# Training is OPQ-style alternation (Ge et al.), with the Procrustes
+# solved per (list, block) as the orthogonal polar factor of
+# C = sum_i y_hat_i r_i^T via batched Newton-Schulz iteration — no host
+# SVDs, everything stays batched matmuls on device.
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def polar_orthogonalize(c: jax.Array) -> jax.Array:
+    """Batched orthogonal polar factor ``U V^T`` of ``c [..., bs, bs]``.
+
+    Exact batched SVD (0.2-0.6 ms for 16k 8x8/16x16 blocks — build-time
+    only). Rank-DEFICIENT covariances are the common case here (strongly
+    anisotropic list residuals concentrate energy in few directions):
+    SVD's arbitrary null-space completion is still Procrustes-optimal,
+    where Newton-Schulz iteration simply fails to converge (tried first;
+    its fallback turned every anisotropic list — exactly the lists that
+    matter — into identity). Near-zero inputs (empty lists) keep identity.
+    """
+    bs = c.shape[-1]
+    eye = jnp.eye(bs, dtype=jnp.float32)
+    norm = jnp.sqrt(jnp.sum(c * c, axis=(-2, -1), keepdims=True))
+    x = (c / jnp.maximum(norm, 1e-20)).astype(jnp.float32)
+    u, _, vt = jnp.linalg.svd(x, full_matrices=True)
+    r = jnp.einsum(
+        "...ik,...kj->...ij", u, vt, preferred_element_type=jnp.float32
+    )
+    ok = norm[..., 0, 0] > 1e-12
+    return jnp.where(ok[..., None, None], r, eye)
+
+
+def _as_blocks(x: jax.Array, bs: int) -> jax.Array:
+    n, d = x.shape
+    if d % bs:
+        raise ValueError(f"dimension {d} not divisible by rotation block {bs}")
+    return x.reshape(n, d // bs, bs)
+
+
+def rotate_blocks(x: jax.Array, rot_rows: jax.Array) -> jax.Array:
+    """``y_i = blockdiag(rot_rows[i]) @ x_i`` — rows already carry their
+    own rotation blocks ``[N, nb, bs, bs]``."""
+    bs = rot_rows.shape[-1]
+    xb = _as_blocks(x, bs)
+    y = jnp.einsum(
+        "nbf,nbef->nbe", xb, rot_rows, preferred_element_type=jnp.float32
+    )
+    return y.reshape(x.shape)
+
+
+def unrotate_blocks(y: jax.Array, rot_rows: jax.Array) -> jax.Array:
+    """Inverse of :func:`rotate_blocks` (orthogonal transpose)."""
+    bs = rot_rows.shape[-1]
+    yb = _as_blocks(y, bs)
+    x = jnp.einsum(
+        "nbe,nbef->nbf", yb, rot_rows, preferred_element_type=jnp.float32
+    )
+    return x.reshape(y.shape)
+
+
+# bounds the [chunk, nb, bs, bs] Procrustes outer-product transient
+_ROT_CHUNK = 16_384
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nlist", "m", "bs", "ksub", "iters", "alt_iters"),
+)
+def train_per_list_rotations(
+    residuals: jax.Array,
+    assignments: jax.Array,
+    nlist: int,
+    m: int,
+    bs: int,
+    ksub: int = KSUB,
+    seed: int = 0,
+    iters: int = 12,
+    alt_iters: int = 3,
+) -> Tuple[jax.Array, jax.Array]:
+    """Alternate shared-codebook training with per-list block Procrustes.
+
+    Returns ``(rotations [nlist, nb, bs, bs], codebooks [m, ksub, dsub])``
+    where the codebooks are trained on the FINAL rotated residuals — the
+    pair must be used together (encode ``PQ(R_l r)``, decode ``R_l^T``).
+    Lists whose accumulated Procrustes covariance is degenerate (too few
+    rows for a stable [bs, bs] frame) keep the identity rotation.
+    """
+    n, d = residuals.shape
+    if d % bs:
+        raise ValueError(f"dimension {d} not divisible by rotation block {bs}")
+    nb = d // bs
+    a = assignments.astype(jnp.int32)
+
+    chunk = min(_ROT_CHUNK, max(n, 1))
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    r_p = jnp.pad(residuals, ((0, pad), (0, 0))).reshape(n_chunks, chunk, d)
+    # padded rows scatter into segment nlist (dropped)
+    a_p = jnp.pad(a, (0, pad), constant_values=nlist).reshape(
+        n_chunks, chunk
+    )
+
+    # PCA + eigenvalue-allocation init (the per-list analogue of OPQ's
+    # non-parametric solution, Ge et al.): rotate every list's block to
+    # its principal frame, then PERMUTE the axes so eigenvalue mass is
+    # balanced across the subquantizers inside the block — variance-
+    # descending order packs all the energy into subquantizer 0 and is
+    # measurably WORSE than no rotation (one 256-code codebook carries
+    # everything); greedy log-eigenvalue balancing splits the energetic
+    # axes one-per-subquantizer. The pure Procrustes alternation from
+    # identity converges too slowly to find this frame on its own
+    # (measured: -9% reconstruction error after 3 rounds, still -26%
+    # after 16); from this init the alternation only polishes.
+    # Eigenvector signs are fixed by the largest-|entry| convention so
+    # reflections agree across lists.
+    def cov_accum(c_acc, inp):
+        rc, ac = inp
+        rb = _as_blocks(rc, bs)
+        outer = rb[:, :, :, None] * rb[:, :, None, :]
+        seg = jax.ops.segment_sum(outer, ac, num_segments=nlist + 1)[:nlist]
+        return c_acc + seg, None
+
+    cov, _ = jax.lax.scan(
+        cov_accum,
+        jnp.zeros((nlist, nb, bs, bs), jnp.float32),
+        (r_p, a_p),
+    )
+    counts = jax.ops.segment_sum(
+        jnp.ones((n_chunks * chunk,), jnp.float32),
+        a_p.reshape(-1),
+        num_segments=nlist + 1,
+    )[:nlist]
+    eig, v = jnp.linalg.eigh(cov)  # ascending eigenvalues
+    eig = eig[..., ::-1]
+    v = v[..., ::-1]  # columns: principal axes, variance-descending
+    pick = jnp.argmax(jnp.abs(v), axis=-2, keepdims=True)
+    v = v * jnp.sign(jnp.take_along_axis(v, pick, axis=-2))
+    rot = jnp.swapaxes(v, -1, -2)  # rows = axes: y = V^T r
+
+    dsub = d // m
+    if bs % dsub == 0 and bs > dsub:
+        msub = bs // dsub  # subquantizers inside one rotation block
+
+        def alloc(eigs):  # [bs] descending -> output-position permutation
+            logs = jnp.log(jnp.maximum(eigs, 1e-12))
+
+            def step(carry, i):
+                cap, load, perm = carry
+                s = jnp.argmin(jnp.where(cap < dsub, load, jnp.inf))
+                perm = perm.at[s * dsub + cap[s]].set(i)
+                return (
+                    cap.at[s].add(1), load.at[s].add(logs[i]), perm
+                ), None
+
+            (_, _, perm), _ = jax.lax.scan(
+                step,
+                (
+                    jnp.zeros(msub, jnp.int32),
+                    jnp.zeros(msub, jnp.float32),
+                    jnp.zeros(bs, jnp.int32),
+                ),
+                jnp.arange(bs),
+            )
+            return perm
+
+        perm = jax.vmap(jax.vmap(alloc))(eig)  # [nlist, nb, bs]
+        rot = jnp.take_along_axis(rot, perm[..., None], axis=-2)
+
+    rot = jnp.where(
+        (counts >= bs)[:, None, None, None],
+        rot,
+        jnp.eye(bs, dtype=jnp.float32),
+    )
+
+    def alternate(rot, _):
+        rot_rows_of = lambda ac: rot[jnp.clip(ac, 0, nlist - 1)]
+        y = jax.lax.map(
+            lambda inp: rotate_blocks(inp[0], rot_rows_of(inp[1])),
+            (r_p, a_p),
+        ).reshape(n_chunks * chunk, d)[:n]
+        cb = pq_train(y, m, ksub=ksub, seed=seed, iters=iters)
+        codes_p = jnp.pad(
+            pq_encode(y, cb), ((0, pad), (0, 0))
+        ).reshape(n_chunks, chunk, m)
+
+        def accum(c_acc, inp):
+            rc, ac, cc = inp
+            yb = _as_blocks(pq_reconstruct(cc, cb), bs)
+            rb = _as_blocks(rotate_blocks(rc, rot_rows_of(ac)), bs)
+            # C += y_hat r^T in the ROTATED frame: the update is the
+            # incremental Procrustes R_new = polar(C) @ R_old composed
+            # below, keeping each alternation's solve well-conditioned
+            outer = yb[:, :, :, None] * rb[:, :, None, :]
+            seg = jax.ops.segment_sum(
+                outer, ac, num_segments=nlist + 1
+            )[:nlist]
+            return c_acc + seg, None
+
+        c_acc, _ = jax.lax.scan(
+            accum,
+            jnp.zeros((nlist, nb, bs, bs), jnp.float32),
+            (r_p, a_p, codes_p),
+        )
+        upd = polar_orthogonalize(c_acc)
+        new_rot = jnp.einsum(
+            "lbef,lbfg->lbeg", upd, rot, preferred_element_type=jnp.float32
+        )
+        return new_rot, None
+
+    rot, _ = jax.lax.scan(alternate, rot, None, length=alt_iters)
+    rot_rows_of = lambda ac: rot[jnp.clip(ac, 0, nlist - 1)]
+    y = jax.lax.map(
+        lambda inp: rotate_blocks(inp[0], rot_rows_of(inp[1])), (r_p, a_p)
+    ).reshape(n_chunks * chunk, d)[:n]
+    cb = pq_train(y, m, ksub=ksub, seed=seed, iters=iters)
+    return rot, cb
+
+
+@jax.jit
+def pq_encode_rotated(
+    residuals: jax.Array,
+    assignments: jax.Array,
+    rotations: jax.Array,
+    codebooks: jax.Array,
+) -> jax.Array:
+    """Encode ``PQ(R_{assign[i]} r_i)`` with a bounded rotation-gather
+    transient (the naive ``rotations[assignments]`` is O(N nb bs^2) —
+    gigabytes at 1M rows)."""
+    n, d = residuals.shape
+    nlist = rotations.shape[0]
+    chunk = min(_ROT_CHUNK, max(n, 1))
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    r_p = jnp.pad(residuals, ((0, pad), (0, 0))).reshape(n_chunks, chunk, d)
+    a_p = jnp.pad(assignments.astype(jnp.int32), (0, pad)).reshape(
+        n_chunks, chunk
+    )
+
+    def step(_, inp):
+        rc, ac = inp
+        y = rotate_blocks(rc, rotations[jnp.clip(ac, 0, nlist - 1)])
+        return None, pq_encode(y, codebooks)
+
+    _, codes = jax.lax.scan(step, None, (r_p, a_p))
+    return codes.reshape(n_chunks * chunk, -1)[:n]
+
+
 def pq_search(
     queries,
     codes,
