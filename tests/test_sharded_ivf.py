@@ -162,3 +162,43 @@ def test_sharded_exact_nprobe_semantics(rng):
     # it may only add coverage, never lose it
     dg, ig = sharded_ivf_flat_search(jnp.asarray(q), data, k, budget, mesh)
     assert np.all(np.sort(np.asarray(dg), 1) <= np.sort(de, 1) + 1e-3)
+
+
+def test_sharded_ivf_pq_rotations_recall(rng):
+    """Per-shard per-list residual rotations (pq_rotations) must beat the
+    plain per-shard PQ payload on per-list anisotropic data — the sharded
+    analogue of tests/ops/test_pq_rotations.py's end-to-end check."""
+    from vectordb_retrieval_tpu.bench.metrics import recall_at_k
+    from vectordb_retrieval_tpu.parallel import (
+        build_sharded_ivf_coded,
+        sharded_ivf_coded_search,
+    )
+
+    d_dim, nlist = 32, 4
+    scales = np.concatenate(
+        [np.full(2, 3.0), np.full(d_dim - 2, 0.05)]
+    ).astype(np.float32)
+    centers = (rng.standard_normal((nlist, d_dim)) * 10).astype(np.float32)
+    parts = []
+    for l in range(nlist):
+        qm, _ = np.linalg.qr(rng.standard_normal((d_dim, d_dim)))
+        z = rng.standard_normal((1200, d_dim)).astype(np.float32) * scales
+        parts.append(centers[l] + z @ qm.T.astype(np.float32))
+    x = np.concatenate(parts).astype(np.float32)
+    x = x[rng.permutation(len(x))]
+    q = x[:16] + 0.01 * rng.standard_normal((16, d_dim)).astype(np.float32)
+    full = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(full, axis=1)[:, :10]
+
+    mesh = make_mesh(8)
+    rec = {}
+    for bs in (0, 8):
+        data, meta = build_sharded_ivf_coded(
+            x, mesh, nlist=nlist, coding="pq", m=16, seed=3, pq_rotations=bs
+        )
+        assert ("list_rotations" in data) == bool(bs)
+        _, i = sharded_ivf_coded_search(
+            jnp.asarray(q), data, 10, meta["n_buckets"], mesh, coding="pq"
+        )
+        rec[bs] = recall_at_k(gt, np.asarray(i), 10)
+    assert rec[8] > rec[0] + 0.02, rec

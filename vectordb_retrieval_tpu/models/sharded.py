@@ -67,6 +67,7 @@ class ShardedIVFIndexer(BaseIndexer):
         n_devices: int = 0,
         seed: int = 123,
         train_iters: int = 20,
+        pq_rotations: int = 0,
         **params: Any,
     ):
         super().__init__(metric=metric, **params)
@@ -75,6 +76,9 @@ class ShardedIVFIndexer(BaseIndexer):
         self.n_devices = int(n_devices)  # 0 = all
         self.seed = int(seed)
         self.train_iters = int(train_iters)
+        # per-list residual rotations for the PQ payload (each shard
+        # learns rotations against its OWN codebooks; see factory.py)
+        self.pq_rotations = int(pq_rotations)
 
     def build(self, vectors: np.ndarray, dimension: int) -> IndexArtifact:
         from vectordb_retrieval_tpu.models.factory import parse_index_key
@@ -106,6 +110,7 @@ class ShardedIVFIndexer(BaseIndexer):
                 x, mesh, spec["nlist"], coding=spec["coding"],
                 m=spec["m"] or 8,
                 seed=self.seed, train_iters=self.train_iters,
+                pq_rotations=self.pq_rotations,
             )
         art = IndexArtifact(
             kind=f"ivf_{spec['coding']}_sharded",

@@ -264,6 +264,7 @@ def build_sharded_ivf_coded(
     seed: int = 123,
     train_iters: int = 20,
     axis: str = "db",
+    pq_rotations: int = 0,
 ):
     """Per-shard IVF with quantized (PQ residual / SQ8) list payloads.
 
@@ -297,14 +298,19 @@ def build_sharded_ivf_coded(
         hi = min((s + 1) * per, n)
         if hi <= lo:  # empty shard: zero codes under the dead bucket
             nbs, mls = slot_g.shape
-            extras = (
-                {"codebooks": np.zeros((m, ksub, d // m), np.float32)}
-                if coding == "pq"
-                else {
+            if coding == "pq":
+                extras = {"codebooks": np.zeros((m, ksub, d // m), np.float32)}
+                if pq_rotations:
+                    bs = pq_rotations
+                    extras["list_rotations"] = np.broadcast_to(
+                        np.eye(bs, dtype=np.float32),
+                        (nlist, d // bs, bs, bs),
+                    ).copy()
+            else:
+                extras = {
                     "vmin": np.zeros(d, np.float32),
                     "step": np.full(d, 1e-12, np.float32),
                 }
-            )
             shards.append(
                 (
                     centroids, slot_g, bucket_lists,
@@ -320,14 +326,27 @@ def build_sharded_ivf_coded(
         # per-row codes in LOCAL row order; gathered into buckets below
         if coding == "pq":
             residuals = xs - cents_dev[assign_dev]
-            codebooks = pqops.pq_train(
-                residuals, m, ksub=ksub, seed=seed + s, iters=train_iters
-            )
-            codes = np.asarray(pqops.pq_encode(residuals, codebooks))
+            if pq_rotations:
+                rots, codebooks = pqops.train_per_list_rotations(
+                    residuals, assign_dev, nlist, m, pq_rotations,
+                    ksub=ksub, seed=seed + s, iters=train_iters,
+                )
+                codes = np.asarray(pqops.pq_encode_rotated(
+                    residuals, assign_dev, rots, codebooks
+                ))
+                extras = {
+                    "codebooks": np.asarray(codebooks),
+                    "list_rotations": np.asarray(rots),
+                }
+            else:
+                codebooks = pqops.pq_train(
+                    residuals, m, ksub=ksub, seed=seed + s, iters=train_iters
+                )
+                codes = np.asarray(pqops.pq_encode(residuals, codebooks))
+                extras = {"codebooks": np.asarray(codebooks)}
             sqn = np.asarray(pqops.pq_code_sqnorms(
                 jnp.asarray(codes), codebooks
             ))
-            extras = {"codebooks": np.asarray(codebooks)}
         else:
             vmin, step = sqops.sq_train(xs)
             codes_dev = sqops.sq_encode(xs, vmin, step)
@@ -420,7 +439,23 @@ def sharded_ivf_coded_search(
         if exact_sem
         else (lambda bl: {})
     )
-    if coding == "pq":
+    if coding == "pq" and "list_rotations" in data:
+
+        def local(q, cents, slots, codes, sqns, cbs, rots, rbl, *bl):
+            d, i = ivfops.ivf_pq_search(
+                q, cents[0], slots[0], codes[0], sqns[0], cbs[0],
+                k, nprobe, metric=metric,
+                list_rotations=rots[0], rot_bucket_lists=rbl[0],
+                **kw_of(bl[0] if bl else None),
+            )
+            return gather_merge(d, i, axis, k)
+
+        operands = [
+            data["centroids"], data["slot_ids"], data["list_codes"],
+            data["list_sqnorms"], data["codebooks"],
+            data["list_rotations"], data["bucket_lists"],
+        ]
+    elif coding == "pq":
 
         def local(q, cents, slots, codes, sqns, cbs, *bl):
             d, i = ivfops.ivf_pq_search(
