@@ -41,6 +41,10 @@ p.add_argument("--queries", type=int, default=256)
 p.add_argument("--k", type=int, default=20)
 p.add_argument("--rot-bs", type=int, default=0,
                help="also run ivf_pq with pq_rotations=<bs>")
+p.add_argument("--center-scale", type=float, default=2.0,
+               help="cluster-center spread inside the global manifold")
+p.add_argument("--point-scale", type=float, default=0.55,
+               help="within-cluster tangent scatter")
 args = p.parse_args()
 
 import jax  # noqa: E402
@@ -68,7 +72,10 @@ C = args.clusters
 # global manifold frame [d, global_rank]
 gq, _ = np.linalg.qr(rng.standard_normal((d, d)).astype(np.float64))
 G = gq[:, : args.global_rank].astype(np.float32)
-centers = (rng.standard_normal((C, args.global_rank)).astype(np.float32) * 2.0) @ G.T
+centers = (
+    rng.standard_normal((C, args.global_rank)).astype(np.float32)
+    * args.center_scale
+) @ G.T
 
 # per-cluster tangent frames: rank-r, interpolated between a SHARED frame
 # (orient=0) and fully random per-cluster frames (orient=1); spectrum
@@ -86,12 +93,15 @@ for c in range(C):
     frames[c] = mq[:, :r].astype(np.float32)
 
 assign = rng.integers(0, C, size=n)
-z = rng.standard_normal((n, r)).astype(np.float32) * spec * 0.55
+z = rng.standard_normal((n, r)).astype(np.float32) * spec * args.point_scale
 x = centers[assign] + np.einsum("ndr,nr->nd", frames[assign], z)
 x = np.ascontiguousarray(x, dtype=np.float32)
 
 qi = rng.choice(n, args.queries, replace=False)
-zq = rng.standard_normal((args.queries, r)).astype(np.float32) * spec * 0.7
+zq = (
+    rng.standard_normal((args.queries, r)).astype(np.float32)
+    * spec * 1.3 * args.point_scale
+)
 q = centers[assign[qi]] + np.einsum(
     "ndr,nr->nd", frames[assign[qi]], zq
 )

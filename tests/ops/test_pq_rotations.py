@@ -181,3 +181,39 @@ def test_rotated_artifact_persistence_roundtrip(rng, tmp_path):
     d2, i2 = s2.batch_search(q, 5)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_rotated_search_regimes_agree(rng):
+    """The resident decode-on-read regime and the streaming masked scan
+    must agree for a rotated artifact (same kernel contract as the plain
+    IVF-PQ cross-path test). Moderate norms + generic queries: the
+    streaming scan scores in bf16 without a rescore pass, so the check
+    targets the rotation map, not cancellation noise."""
+    from vectordb_retrieval_tpu.models.factory import FactoryIndexer
+    from vectordb_retrieval_tpu.ops import ivf as ivfops
+
+    d, nlist = 16, 5
+    res, assign = _anisotropic_per_list(rng, nlist, 200, d)
+    centers = rng.standard_normal((nlist, d)).astype(np.float32)
+    x = (res + centers[assign]).astype(np.float32)
+    art = FactoryIndexer(
+        metric="l2", index_key=f"IVF{nlist},PQ8", pq_rotations=8,
+        nprobe=nlist, train_iters=6,
+    ).build(x, d)
+    q = jnp.asarray(rng.standard_normal((8, d)).astype(np.float32) * 2)
+    dd = art.data
+    kw = dict(
+        list_rotations=dd["list_rotations"],
+        rot_bucket_lists=dd["bucket_lists"],
+    )
+    args = (
+        q, dd["centroids"], dd["slot_ids"], dd["list_codes"],
+        dd["list_sqnorms"], dd["codebooks"], 7, nlist,
+    )
+    d1, i1 = ivfops.ivf_pq_search(*args, **kw)
+    d2, i2 = ivfops.ivf_pq_search(*args, resident_budget=1, **kw)
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d2), rtol=5e-2, atol=5e-2
+    )
+    # top-1 agrees up to bf16 near-ties
+    assert (np.asarray(i1)[:, 0] == np.asarray(i2)[:, 0]).mean() >= 0.75
