@@ -24,6 +24,7 @@ Distance conventions (FAISS-compatible, reference modular.py:544-546):
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Optional, Tuple
 
 import jax
@@ -313,6 +314,19 @@ def _exact_search_streamed(
 REFINE_OVERFETCH = 16
 _BLOCKMIN_WIDTH = 8
 _BLOCKMIN_SLACK = 16
+# Certified bf16 fast scan for the blockmin path: stage 1 runs the MXU at
+# DEFAULT precision (bf16 inputs, ~3x cheaper than the 3-pass HIGH
+# decomposition) and tracks a per-element lower bound via the same
+# |dot_bf16 - dot_f32| <= err_c*|q||x| band the covertree stream descent
+# certifies (ops/covertree.DEFAULT_ERR_C and its band-coverage test).
+# Selection over the *lower bounds* plus one extra block yields a per-query
+# completeness certificate: if the (nb+1)-th smallest block lower bound is
+# >= the exactly-rescored k-th candidate distance, no unselected block can
+# hold a true top-k element. Queries are exact by construction when the
+# certificate holds; if ANY query fails it, the whole batch re-runs the
+# HIGH-precision pass (lax.cond — rare, costs one extra scan when hit).
+_EXACT_BF16 = _os.environ.get("VRT_EXACT_BF16", "1") != "0"
+_ERR_C = 6e-3  # == ops/covertree.DEFAULT_ERR_C (kept literal: no cycle)
 # Selection over the [B, N/w] blockmin matrix is the blockmin path's
 # bottleneck at large N (stage-split: scan 10 ms vs full 28 ms at 1M —
 # scripts/exp_blockmin_stages.py); the certificate holds at ANY width, so
