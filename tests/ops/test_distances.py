@@ -171,3 +171,50 @@ def test_exact_paths_agree_randomized(rng):
             np.testing.assert_allclose(
                 np.sort(got, 1), want, rtol=1e-3, atol=1e-3
             )
+
+
+def test_blockmin_pallas_stage1_matches_xla_scan(rng):
+    """The Pallas stage-1 (3-pass HIGH-equivalent kernel) and the XLA scan
+    must produce identical exact-search results — same certificate, same
+    exact rescore (interpreter mode on CPU)."""
+    from vectordb_retrieval_tpu.ops import distances as dops
+
+    db = jnp.asarray(rng.standard_normal((30_000, 48)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((24, 48)).astype(np.float32))
+    orig = dops.FORCE_PALLAS_STAGE1_INTERPRET
+    try:
+        for metric in ("l2", "ip"):
+            dops.FORCE_PALLAS_STAGE1_INTERPRET = True
+            v1, i1 = dops._exact_search_blockmin(
+                q, db, None, 10, metric, 8192, w=8
+            )
+            dops.FORCE_PALLAS_STAGE1_INTERPRET = False
+            v0, i0 = dops._exact_search_blockmin(
+                q, db, None, 10, metric, 8192, w=8
+            )
+            np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+            np.testing.assert_allclose(
+                np.asarray(v0), np.asarray(v1), rtol=0, atol=0
+            )
+    finally:
+        dops.FORCE_PALLAS_STAGE1_INTERPRET = orig
+
+
+def test_select_blocks_hierarchical_matches_flat(rng):
+    """The hierarchical wide-row selection must return the same block set
+    as a flat top-k (modulo exact-tie ordering)."""
+    from vectordb_retrieval_tpu.ops.distances import (
+        _SEL_FLAT_MAX,
+        _select_blocks,
+        top_k_smallest,
+    )
+
+    g = _SEL_FLAT_MAX * 2 + 36  # force the hierarchical branch + padding
+    bm = jnp.asarray(rng.standard_normal((8, g)).astype(np.float32))
+    blk = np.asarray(_select_blocks(bm, 64))
+    _, ref = top_k_smallest(bm, 64)
+    bm_np = np.asarray(bm)
+    for r in range(8):
+        got = np.sort(bm_np[r][blk[r]])
+        want = np.sort(bm_np[r][np.asarray(ref)[r]])
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)

@@ -325,3 +325,72 @@ def test_stream_regime_matches_probe_scan():
         np.testing.assert_array_equal(
             np.sort(outs["probe"][i], 1), np.sort(outs["stream"][i], 1)
         )
+
+
+def test_fused_probed_blockmin_matches_masked_stream():
+    """The round-4 fused probed-blockmin regime (Pallas kernel + probed
+    selection) must return the same ids as the masked-stream regime for
+    every payload family — identical probe semantics, identical exact
+    rescore (interpreter mode on CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vectordb_retrieval_tpu.ops.kmeans import kmeans_assign, kmeans_fit
+    from vectordb_retrieval_tpu.ops import pq as pqops
+    from vectordb_retrieval_tpu.ops import sq as sqops
+
+    rng = np.random.default_rng(11)
+    n, d, nlist, k = 4000, 32, 24, 10
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((16, d)).astype(np.float32))
+    cents, _ = kmeans_fit(x, nlist, seed=0, iters=6)
+    assign = np.asarray(kmeans_assign(x, cents))
+    slot_np, bl_np, _ = ivfops.build_bucketed_lists(assign, nlist)
+    assert slot_np.shape[0] % 8 == 0  # round-4 layout contract
+    assert slot_np.shape[1] % 32 == 0
+    slots = jnp.asarray(slot_np)
+    coarse = ivfops.coarse_table(cents, bl_np)
+    safe = jnp.asarray(np.where(slot_np >= 0, slot_np, 0))
+    vecs = x[safe] * (slot_np >= 0)[:, :, None]
+    sqn = jnp.sum(vecs * vecs, -1)
+
+    orig_stream = ivfops._use_stream
+    orig_force = ivfops.FORCE_FUSED_INTERPRET
+    outs = {}
+    try:
+        ivfops._use_stream = lambda *a: True
+        for name, force in (("masked", False), ("fused", True)):
+            ivfops.FORCE_FUSED_INTERPRET = force
+            jax.clear_caches()
+            res = {}
+            # flat f32
+            res["flat32"] = ivfops.ivf_flat_search(
+                q, coarse, slots, vecs, sqn, k, 6, metric="l2"
+            )
+            # flat bf16 + f32 rescore
+            res["flat16"] = ivfops.ivf_flat_search(
+                q, coarse, slots, vecs.astype(jnp.bfloat16), sqn, k, 6,
+                metric="l2", full_vectors=x,
+            )
+            # sq8
+            vmin, step = sqops.sq_train(x)
+            codes = sqops.sq_encode(
+                vecs.reshape(-1, d), vmin, step
+            ).reshape(vecs.shape)
+            dec = sqops.sq_decode(codes.reshape(-1, d), vmin, step).reshape(
+                vecs.shape
+            )
+            dsqn = jnp.sum(dec * dec, -1)
+            res["sq8"] = ivfops.ivf_sq_search(
+                q, coarse, slots, codes, dsqn, vmin, step, k, 6, metric="l2"
+            )
+            outs[name] = res
+    finally:
+        ivfops._use_stream = orig_stream
+        ivfops.FORCE_FUSED_INTERPRET = orig_force
+    jax.clear_caches()
+
+    for key in ("flat32", "flat16", "sq8"):
+        ids_m = np.sort(np.asarray(outs["masked"][key][1]), 1)
+        ids_f = np.sort(np.asarray(outs["fused"][key][1]), 1)
+        np.testing.assert_array_equal(ids_m, ids_f)

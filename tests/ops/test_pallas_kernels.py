@@ -139,3 +139,77 @@ def test_slab_cell_packing_rules():
     # gate: shapes with <8 slabs in VMEM never route to the kernel
     assert not pk.slab_kernel_ok(1024, 384, 4)
     assert pk.slab_kernel_ok(128, 384, 2)
+
+
+def test_dist_blockmin_modes_match_oracle(rng):
+    from vectordb_retrieval_tpu.ops.pallas_kernels import (
+        dist_blockmin_pad_rows,
+        dist_blockmin_pallas,
+    )
+
+    for n, d, b, w in [(4096, 128, 16, 8), (2000, 64, 8, 32), (8192, 96, 24, 16)]:
+        s = dist_blockmin_pad_rows(n, w)
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        dbp = np.zeros((s, d), np.float32)
+        dbp[:n] = db
+        pen = np.full((s,), np.inf, np.float32)
+        pen[:n] = (db * db).sum(1)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        sc = pen[None, :] - 2.0 * (q @ dbp.T)
+        ref = sc.reshape(b, s // w, w).min(-1)
+        fin = np.isfinite(ref)
+
+        out = np.asarray(
+            dist_blockmin_pallas(
+                jnp.asarray(q),
+                jnp.asarray(dbp),
+                jnp.asarray(pen).reshape(s // w, w),
+                w=w,
+                interpret=True,
+            )
+        )
+        assert out.shape == (b, s // w)
+        # f32 3-pass: HIGH-equivalent numerics
+        assert np.abs(out - ref)[fin].max() < 2e-3
+
+        out16 = np.asarray(
+            dist_blockmin_pallas(
+                jnp.asarray(q).astype(jnp.bfloat16),
+                jnp.asarray(dbp).astype(jnp.bfloat16),
+                jnp.asarray(pen).reshape(s // w, w),
+                w=w,
+                interpret=True,
+            )
+        )
+        scale = np.abs(ref[fin]).max()
+        assert np.abs(out16 - ref)[fin].max() / scale < 2e-2
+
+        dbu = rng.integers(0, 256, (s, d)).astype(np.uint8)
+        scu = pen[None, :] - 2.0 * (q @ dbu.astype(np.float32).T)
+        refu = scu.reshape(b, s // w, w).min(-1)
+        outu = np.asarray(
+            dist_blockmin_pallas(
+                jnp.asarray(q).astype(jnp.bfloat16),
+                jnp.asarray(dbu),
+                jnp.asarray(pen).reshape(s // w, w),
+                w=w,
+                interpret=True,
+            )
+        )
+        finu = np.isfinite(refu)
+        assert (
+            np.abs(outu - refu)[finu].max() / (np.abs(refu[finu]).max() + 1e-9)
+            < 2e-2
+        )
+
+
+def test_dist_blockmin_rejects_unaligned(rng):
+    import pytest
+
+    from vectordb_retrieval_tpu.ops.pallas_kernels import dist_blockmin_pallas
+
+    q = jnp.zeros((4, 32), jnp.float32)
+    db = jnp.zeros((100, 32), jnp.float32)  # 100 % (8*8) != 0
+    pen = jnp.zeros((100 // 8 + 1, 8), jnp.float32)
+    with pytest.raises(ValueError):
+        dist_blockmin_pallas(q, db, pen, w=8, interpret=True)

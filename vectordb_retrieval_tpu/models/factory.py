@@ -364,7 +364,7 @@ class FactoryIndexer(BaseIndexer):
         list_sqn = assemble(sqn_np, jnp.float32)
         del sqn_np, safe
         data: Dict[str, Any] = {
-            "centroids": centroids[bucket_lists],
+            "centroids": ivfops.coarse_table(centroids, bucket_lists),
             "bucket_lists": bucket_lists,
             "slot_ids": jnp.asarray(slot_ids_np),
             "list_codes": list_codes,
@@ -405,7 +405,7 @@ class FactoryIndexer(BaseIndexer):
         )
         slot_ids = jnp.asarray(slot_ids_np)
         bucket_lists = jnp.asarray(bucket_lists_np)
-        coarse = centroids[bucket_lists]  # [n_buckets, d] probe table
+        coarse = ivfops.coarse_table(centroids, bucket_lists)  # [n_buckets, d]
         meta.update(
             {
                 "nlist": int(nlist),

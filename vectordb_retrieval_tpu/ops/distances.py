@@ -24,13 +24,19 @@ Distance conventions (FAISS-compatible, reference modular.py:544-546):
 from __future__ import annotations
 
 import functools
-import os as _os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
+from vectordb_retrieval_tpu.ops import pallas_kernels as plk
+
 METRICS = ("l2", "ip", "cosine")
+
+# test hook: run the Pallas stage-1 of the blockmin path in interpreter
+# mode on non-TPU hosts (targeted tests flip this; production gating is
+# by backend)
+FORCE_PALLAS_STAGE1_INTERPRET = False
 
 # Below this many database rows the full [B, N] distance matrix is
 # materialised in one shot; above it the blockmin-certificate streaming path
@@ -314,19 +320,6 @@ def _exact_search_streamed(
 REFINE_OVERFETCH = 16
 _BLOCKMIN_WIDTH = 8
 _BLOCKMIN_SLACK = 16
-# Certified bf16 fast scan for the blockmin path: stage 1 runs the MXU at
-# DEFAULT precision (bf16 inputs, ~3x cheaper than the 3-pass HIGH
-# decomposition) and tracks a per-element lower bound via the same
-# |dot_bf16 - dot_f32| <= err_c*|q||x| band the covertree stream descent
-# certifies (ops/covertree.DEFAULT_ERR_C and its band-coverage test).
-# Selection over the *lower bounds* plus one extra block yields a per-query
-# completeness certificate: if the (nb+1)-th smallest block lower bound is
-# >= the exactly-rescored k-th candidate distance, no unselected block can
-# hold a true top-k element. Queries are exact by construction when the
-# certificate holds; if ANY query fails it, the whole batch re-runs the
-# HIGH-precision pass (lax.cond — rare, costs one extra scan when hit).
-_EXACT_BF16 = _os.environ.get("VRT_EXACT_BF16", "1") != "0"
-_ERR_C = 6e-3  # == ops/covertree.DEFAULT_ERR_C (kept literal: no cycle)
 # Selection over the [B, N/w] blockmin matrix is the blockmin path's
 # bottleneck at large N (stage-split: scan 10 ms vs full 28 ms at 1M —
 # scripts/exp_blockmin_stages.py); the certificate holds at ANY width, so
@@ -347,6 +340,45 @@ def blockmin_width(n: int) -> int:
     return w
 
 
+# wide-row block selection: plain top-k over [B, G] costs superlinearly in
+# G on TPU (measured: G=31250 ~5 ms, 15625 ~1.2 ms, 7812 ~0.43 ms at
+# B=256), so wide selections go hierarchical — superblock-min (factor
+# _SEL_SF, a cheap fused reshape-min), top-nb superblocks, then co-SORT
+# the nb*_SEL_SF member (value, block-id) pairs with lax.sort: scalar
+# take_along_axis gathers are latency-bound on this backend (~2-3 ms for
+# [256, 464]); sort carries the ids for free. Certificate: any (super)
+# block containing a true top-k element has min <= d_k at both levels.
+_SEL_FLAT_MAX = 8192
+_SEL_SF = 4
+
+
+def _select_blocks(bmins: jax.Array, nb: int) -> jax.Array:
+    """Top-``nb`` block ids per row of the blockmin matrix ``[B, G]``."""
+    b, g = bmins.shape
+    if g <= _SEL_FLAT_MAX or nb * _SEL_SF >= g:
+        _, blk = top_k_smallest(bmins, nb)
+        return blk
+    sf = _SEL_SF
+    gpad = -(-g // sf) * sf
+    bmp = (
+        jnp.pad(bmins, ((0, 0), (0, gpad - g)), constant_values=jnp.inf)
+        if gpad != g
+        else bmins
+    )
+    bm4 = bmp.reshape(b, gpad // sf, sf)
+    sb = jnp.min(bm4, axis=-1)  # [B, G/sf] superblock minima
+    _, sblk = top_k_smallest(sb, nb)
+    mvals = jnp.take_along_axis(bm4, sblk[:, :, None], axis=1)  # [B,nb,sf]
+    mem = (
+        sblk[:, :, None] * sf
+        + jax.lax.broadcasted_iota(jnp.int32, (1, 1, sf), 2)
+    ).reshape(b, nb * sf)
+    _, sblk2 = jax.lax.sort(
+        (mvals.reshape(b, nb * sf), mem), dimension=-1, num_keys=1
+    )
+    return sblk2[:, :nb]
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "metric", "chunk_rows", "w", "slack")
 )
@@ -364,54 +396,81 @@ def _exact_search_blockmin(
 
     Two stages: (1) stream the database computing per-``w``-column block
     minima of the distance matrix — the full ``[B, N]`` matrix is consumed
-    by a fused reduction and never reaches HBM; (2) the top ``k+slack``
+    by a fused reduction and never reaches HBM. On TPU this is the fused
+    Pallas kernel (ops/pallas_kernels.dist_blockmin_pallas, 3-pass hi/lo
+    split = Precision.HIGH-equivalent numerics, measured 2.1-2.6x the XLA
+    scan at 1M x 128d); elsewhere the XLA scan. (2) the top ``k+slack``
     blocks per query provably contain every true top-k element (any block
     holding a top-k element has blockmin <= d_k, and at most k-1 blocks can
     rank strictly below it — `slack` absorbs exact blockmin ties), so only
     ``(k+slack)*w`` candidates per query are rescored exactly on the VPU.
-    ~4.5x faster than the merge-per-chunk scan at 1M rows (selection over
-    N/w block minima instead of N distances).
+    Replaces reference src/algorithms/exact_search.py:26-78 as the oracle.
     """
     n, dim = database.shape
     b = queries.shape[0]
-    chunk = clamp_chunk(chunk_rows, n, align=max(512, w))
-    chunk = max(w, (chunk // w) * w)
-    n_chunks = -(-n // chunk)
-    pad = n_chunks * chunk - n
-    dbp = jnp.pad(database, ((0, pad), (0, 0))).reshape(n_chunks, chunk, dim)
-    if metric == "l2":
-        xn = db_sqnorms if db_sqnorms is not None else sq_norms(database)
-        # +inf norms force padded rows out of every block minimum
-        pen = jnp.pad(xn, (0, pad), constant_values=jnp.inf).reshape(
-            n_chunks, chunk
-        )
-    else:
-        pen = jnp.pad(
-            jnp.zeros((n,), jnp.float32), (0, pad), constant_values=jnp.inf
-        ).reshape(n_chunks, chunk)
-
-    def step(_, inp):
-        xc, pc = inp
+    use_pallas = (
+        (plk._on_tpu() or FORCE_PALLAS_STAGE1_INTERPRET)
+        and database.dtype == jnp.float32
+        and queries.dtype == jnp.float32
+    )
+    if use_pallas:
+        s = plk.dist_blockmin_pad_rows(n, w)
+        dbp_flat = jnp.pad(database, ((0, s - n), (0, 0)))
         if metric == "l2":
-            dist = pairwise_distances(queries, xc, "l2", pc)
+            xn = db_sqnorms if db_sqnorms is not None else sq_norms(database)
+            pen = jnp.pad(
+                xn.astype(jnp.float32), (0, s - n), constant_values=jnp.inf
+            )
         else:
-            dist = pairwise_distances(queries, xc, metric) + pc[None, :]
-        bm = jnp.min(dist.reshape(b, chunk // w, w), axis=-1)
-        return None, bm
+            # kernel scores pen - 2*dot: rank-equal to the -dot convention
+            # (positive scale); exact values come from the rescore below
+            pen = jnp.pad(
+                jnp.zeros((n,), jnp.float32), (0, s - n),
+                constant_values=jnp.inf,
+            )
+        bmins = plk.dist_blockmin_pallas(
+            queries, dbp_flat, pen.reshape(-1, w), w=w,
+            interpret=not plk._on_tpu(),
+        )  # [B, S/w]
+        blocks = dbp_flat.reshape(-1, w, dim)
+    else:
+        chunk = clamp_chunk(chunk_rows, n, align=max(512, w))
+        chunk = max(w, (chunk // w) * w)
+        n_chunks = -(-n // chunk)
+        pad = n_chunks * chunk - n
+        dbp = jnp.pad(database, ((0, pad), (0, 0))).reshape(
+            n_chunks, chunk, dim
+        )
+        if metric == "l2":
+            xn = db_sqnorms if db_sqnorms is not None else sq_norms(database)
+            # +inf norms force padded rows out of every block minimum
+            pen = jnp.pad(xn, (0, pad), constant_values=jnp.inf).reshape(
+                n_chunks, chunk
+            )
+        else:
+            pen = jnp.pad(
+                jnp.zeros((n,), jnp.float32), (0, pad),
+                constant_values=jnp.inf,
+            ).reshape(n_chunks, chunk)
 
-    _, bms = jax.lax.scan(step, None, (dbp, pen))  # [nc, B, chunk/w]
-    bmins = jnp.moveaxis(bms, 0, 1).reshape(b, -1)  # [B, N_pad/w]
+        def step(_, inp):
+            xc, pc = inp
+            if metric == "l2":
+                dist = pairwise_distances(queries, xc, "l2", pc)
+            else:
+                dist = pairwise_distances(queries, xc, metric) + pc[None, :]
+            bm = jnp.min(dist.reshape(b, chunk // w, w), axis=-1)
+            return None, bm
+
+        _, bms = jax.lax.scan(step, None, (dbp, pen))  # [nc, B, chunk/w]
+        bmins = jnp.moveaxis(bms, 0, 1).reshape(b, -1)  # [B, N_pad/w]
+        blocks = dbp.reshape(-1, w, dim)  # [N_pad/w, w, d] (padded view)
     nb = min(k + slack, bmins.shape[1])
-    _, blk = top_k_smallest(bmins, nb)
+    blk = _select_blocks(bmins, nb)
     # Rescore by gathering whole w-row BLOCKS, not w scattered rows:
     # HLO row-gather cost is per-ROW latency (~0.2 us) regardless of
     # width (CLAUDE.md gather cost model), so nb block rows of w*d
     # elements cost ~w x less gather latency than nb*w single rows.
-    # End-to-end time on the tunnel is unchanged (~65-70 ms at 1M/k=100 —
-    # stage 1 + selection dominate there), but the rescore no longer
-    # scales with k*w row-latency, which matters at large k and on
-    # runtimes without the tunnel's dispatch floor.
-    blocks = dbp.reshape(-1, w, dim)  # [N_pad/w, w, d] (padded view)
     bvecs = blocks[blk]  # [B, nb, w, d]
     if metric == "l2":
         diff = bvecs - queries[:, None, None, :]

@@ -135,7 +135,9 @@ def _ivf_candidate_searcher(
     train = vectors if sample is None else vectors[sample]
     centroids, _ = kmeans_fit(train, nlist, seed=seed, iters=10)
     assign = np.asarray(kmeans_assign(vectors, centroids))
-    slot_np, bucket_lists_np, _ = ivfops.build_bucketed_lists(assign, nlist)
+    slot_np, bucket_lists_np, _ = ivfops.build_bucketed_lists(
+        assign, nlist, bucket_multiple=1
+    )
     slots = jnp.asarray(slot_np)
     coarse = centroids[jnp.asarray(bucket_lists_np)]
     safe = jnp.asarray(np.where(slot_np >= 0, slot_np, 0))

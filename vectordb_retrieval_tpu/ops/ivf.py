@@ -44,6 +44,7 @@ import numpy as np
 
 from vectordb_retrieval_tpu.ops import distances as dops
 from vectordb_retrieval_tpu.ops import pq as pqops
+from vectordb_retrieval_tpu.ops import pallas_kernels as plk
 
 
 def build_padded_lists(
@@ -71,9 +72,10 @@ def build_padded_lists(
 def build_bucketed_lists(
     assignments: np.ndarray,
     nlist: int,
-    pad_multiple: int = 8,
+    pad_multiple: int = 32,
     target_len: int = 0,
     target_len_cap: int = 2048,
+    bucket_multiple: int = 8,
 ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Bucketed list layout: ``(slot_ids [n_buckets, L], bucket_lists, pad_ratio)``.
 
@@ -90,6 +92,17 @@ def build_bucketed_lists(
     buckets. pad_ratio drops to ~1 + nlist*L/n regardless of skew.
     Empty lists keep one (all ``-1``) bucket so every centroid stays
     addressable.
+
+    Round-4 layout guarantees for the fused probed-blockmin stream
+    (ops/pallas_kernels.dist_blockmin_pallas): ``L`` is a multiple of 32
+    (``pad_multiple``) so the widest block width divides every bucket, and
+    ``n_buckets`` is padded to a multiple of ``bucket_multiple`` (=8) with
+    DEAD buckets (``bucket_lists = -1``, all slots ``-1``) so the flat
+    slot count is a multiple of ``8*w`` for every w in {8, 16, 32} — the
+    kernel's tiling contract, with no per-query-batch payload copies.
+    Dead buckets are harmless: ``probe_budget_cum`` ignores negative list
+    ids, searchers give them +huge coarse rows so they are never probed,
+    and a probed dead bucket contributes only +inf scores.
     """
     n = max(int(assignments.shape[0]), 1)
     counts = np.bincount(assignments, minlength=nlist)
@@ -106,9 +119,10 @@ def build_bucketed_lists(
         pad_multiple, -(-target_len // pad_multiple) * pad_multiple
     )
     n_buckets_per = np.maximum(1, -(-counts // target_len))
-    n_buckets = int(n_buckets_per.sum())
+    n_real = int(n_buckets_per.sum())
+    n_buckets = -(-n_real // bucket_multiple) * bucket_multiple
     slot_ids = np.full((n_buckets, target_len), -1, dtype=np.int32)
-    bucket_lists = np.empty((n_buckets,), dtype=np.int32)
+    bucket_lists = np.full((n_buckets,), -1, dtype=np.int32)
     order = np.argsort(assignments, kind="stable")
     offset = 0
     b = 0
@@ -123,6 +137,25 @@ def build_bucketed_lists(
             b += 1
     pad_ratio = float(n_buckets * target_len) / float(n)
     return slot_ids, bucket_lists, pad_ratio
+
+
+# coarse-row fill for DEAD buckets (bucket_lists < 0): distance to any
+# query is ~d*1e18 — finite in f32 but never inside a top-probe set
+DEAD_COARSE_FILL = 1e9
+
+
+def coarse_table(centroids, bucket_lists) -> jax.Array:
+    """Duplicated per-bucket centroid table ``[n_buckets, d]``.
+
+    Dead padding buckets (``bucket_lists < 0``, see
+    :func:`build_bucketed_lists`) get ``+1e9`` rows so neither the plain
+    top-nprobe selector nor :func:`exact_probe_mask` ever probes them;
+    if one IS probed (budget exceeding the real bucket count), its slots
+    are all ``-1`` and contribute only +inf scores.
+    """
+    bl = jnp.asarray(bucket_lists)
+    tab = jnp.take(jnp.asarray(centroids), jnp.clip(bl, 0, None), axis=0)
+    return jnp.where((bl >= 0)[:, None], tab, DEAD_COARSE_FILL)
 
 
 def probe_budget_cum(bucket_lists: np.ndarray, nlist: int) -> np.ndarray:
@@ -369,6 +402,108 @@ def _ivf_blockmin(
     return vals, ids
 
 
+def _fused_w(L: int) -> int:
+    """Widest supported block width dividing the bucket length (0 = none)."""
+    for w in (32, 16, 8):
+        if L % w == 0:
+            return w
+    return 0
+
+
+# test hook: run the fused probed-blockmin path in Pallas interpreter mode
+# on non-TPU hosts (tests/conftest or individual tests flip this)
+FORCE_FUSED_INTERPRET = False
+
+
+def _use_fused(n_bkt: int, L: int) -> int:
+    """Fused-streaming eligibility: returns the block width, or 0.
+
+    Requires the round-4 bucket layout (``build_bucketed_lists``:
+    ``n_buckets % 8 == 0`` so the flat slot count is a multiple of ``8*w``)
+    and a TPU backend (the Mosaic kernel; interpreter mode is for tests).
+    Indexes persisted by older builds fall back to the masked-stream scan.
+    """
+    w = _fused_w(L)
+    if not w or n_bkt % 8:
+        return 0
+    if not (plk._on_tpu() or FORCE_FUSED_INTERPRET):
+        return 0
+    return w
+
+
+def _ivf_probed_blockmin(
+    probes,  # [B, n_probe_buckets] bucket ranks (distinct per query)
+    slot_ids,  # [n_bkt, L] db row ids, -1 padding
+    q_kernel,  # [B, d'] queries pre-cast for the kernel (bf16 / scaled bf16)
+    payload_kernel,  # [n_bkt*L, d'] flat payload (bf16 | u8)
+    pen,  # [n_bkt*L] f32 per-slot constant (+inf = dead/filtered slot)
+    rescore_payload,  # pytree of [n_bkt, L, ...] arrays for exact rescoring
+    block_rescore,  # ([B, nb, w, ...] blocks) -> exact f32 [B, nb, w]
+    k: int,
+    w: int,
+    slack: int = _BLOCKMIN_SLACK,
+    probe_valid=None,  # [B, nprobe] bool: masked probe slots stay unprobed
+    interpret: bool = False,
+):
+    """IVF search as ONE fused payload stream + probed blockmin selection.
+
+    Stage 1 streams the whole quantized payload through the fused Pallas
+    distance+blockmin kernel (ops/pallas_kernels.dist_blockmin_pallas) —
+    per-``w``-slot minima of the index scoring, no [B, S] matrix, no
+    per-query masking (the kernel is query-set-oblivious, so XLA runs it
+    at payload bandwidth). Stage 2 is where nprobe pays: each query
+    gathers ONLY its probed buckets' block minima (``nprobe * L/w`` values
+    instead of ``S/w``), selects the top ``k+slack`` blocks among them
+    (~25x narrower selection than the masked stream at 1M/nlist=1024),
+    and exactly rescores those blocks' rows. Unprobed buckets are never
+    candidates by construction — identical recall semantics to
+    :func:`_ivf_blockmin` (reference 'probe the nprobe nearest lists',
+    modular.py:437-441) with the same rescore.
+
+    Layout contract (build_bucketed_lists round-4 guarantees): ``L`` is a
+    multiple of ``w`` so blocks never straddle buckets, and
+    ``n_bkt*L % 8w == 0`` for the kernel tiling.
+    """
+    n_bkt, L = slot_ids.shape
+    b = probes.shape[0]
+    bpb = L // w  # blocks per bucket
+    bm = plk.dist_blockmin_pallas(
+        q_kernel, payload_kernel, pen.reshape(-1, w), w=w, interpret=interpret
+    )  # [B, S/w] shifted minima (per-query constants omitted — rank-safe)
+    mem = (
+        jnp.clip(probes, 0, n_bkt - 1)[:, :, None] * bpb
+        + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bpb), 2)
+    ).reshape(b, -1)  # [B, nprobe*bpb] probed block ids
+    mvals = jnp.take_along_axis(bm, mem, axis=1)
+    if probe_valid is not None:
+        mvals = jnp.where(
+            jnp.repeat(probe_valid, bpb, axis=1), mvals, jnp.inf
+        )
+    nb = min(k + slack, mvals.shape[1])
+    sel_vals, msel = dops.top_k_smallest(mvals, nb)
+    blk = jnp.take_along_axis(mem, msel, axis=1)  # [B, nb] global block ids
+
+    flat_slots = slot_ids.reshape(-1)
+    cand = flat_slots[
+        blk[:, :, None] * w
+        + jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
+    ]  # [B, nb, w]
+
+    def blocks_of(x):
+        return x.reshape((n_bkt * L // w, w) + x.shape[2:])[blk]
+
+    cd = block_rescore(jax.tree_util.tree_map(blocks_of, rescore_payload))
+    # queries probing fewer than nb finite blocks (short/masked probe sets)
+    # pull +inf blocks into the top-nb — their rows must stay invisible
+    cd = jnp.where(jnp.isfinite(sel_vals)[:, :, None], cd, jnp.inf)
+    cd = jnp.where(cand >= 0, cd, jnp.inf).reshape(b, nb * w)
+    cand = cand.reshape(b, nb * w)
+    vals, sel = dops.top_k_smallest(cd, k)
+    ids = jnp.take_along_axis(cand, sel, axis=1)
+    ids = jnp.where(jnp.isfinite(vals), ids, -1)
+    return vals, ids
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "nprobe", "metric", "nlist", "nprobe_lists")
 )
@@ -416,6 +551,56 @@ def ivf_flat_search(
 
     if _use_stream(queries.shape[0], probes.shape[1], slot_ids.shape[0]):
         b = queries.shape[0]
+        n_bkt, L = slot_ids.shape
+        fw = _use_fused(n_bkt, L)
+
+        if fw:
+            # fused probed-blockmin regime: one query-oblivious Pallas
+            # stream + per-query probed selection (f32 payloads take the
+            # 3-pass HIGH-equivalent kernel mode; bf16 the single-dot mode
+            # — same scoring semantics as the masked stream below)
+            slots_flat = slot_ids.reshape(-1)
+            if metric == "l2":
+                pen = list_sqnorms.reshape(-1)
+            else:
+                pen = jnp.zeros((n_bkt * L,), jnp.float32)
+            if slot_pen is not None:
+                pen = pen + slot_pen.reshape(-1)
+            pen = jnp.where(slots_flat >= 0, pen, jnp.inf)
+            qk = (
+                queries
+                if list_vecs.dtype == jnp.float32
+                else queries.astype(list_vecs.dtype)
+            )
+
+            def fused_rescore(pl):
+                vecs = pl[0]  # [B, nb, w, d]
+                v32 = vecs.astype(jnp.float32)
+                if metric == "l2":
+                    diff = v32 - queries[:, None, None, :]
+                    cd = jnp.sum(diff * diff, axis=-1)  # VPU exact
+                else:
+                    cd = -jnp.sum(v32 * queries[:, None, None, :], axis=-1)
+                if slot_pen is not None:
+                    cd = cd + pl[1]
+                return cd
+
+            rs_payload = (
+                (list_vecs,) if slot_pen is None else (list_vecs, slot_pen)
+            )
+            dists, ids = _ivf_probed_blockmin(
+                probes, slot_ids, qk,
+                list_vecs.reshape(n_bkt * L, -1), pen,
+                rs_payload, fused_rescore, fetch_k, fw,
+                probe_valid=pvalid, interpret=not plk._on_tpu(),
+            )
+            if compressed:
+                cd = dops.rescore(queries, full_vectors, ids, metric)
+                vals, sel = dops.top_k_smallest(cd, k)
+                ids = jnp.take_along_axis(ids, sel, axis=1)
+                ids = jnp.where(jnp.isfinite(vals), ids, -1)
+                return vals, ids
+            return dists, ids
 
         # f32 lists feed selection AND final ranking: HIGH keeps the
         # blockmin certificate exact (CLAUDE.md precision rule). bf16
@@ -653,6 +838,30 @@ def ivf_pq_search(
 
         if _use_stream(b, probes.shape[1], n_bkt):
 
+            def block_rescore(pl):
+                vecs = pl[0]  # [B, nb, w, d] bf16 reconstructions
+                v32 = vecs.astype(jnp.float32)
+                if metric == "l2":
+                    diff = v32 - queries[:, None, None, :]
+                    return jnp.sum(diff * diff, axis=-1)  # VPU exact
+                return -jnp.sum(v32 * queries[:, None, None, :], axis=-1)
+
+            fw = _use_fused(n_bkt, L)
+            if fw:
+                slots_flat = slot_ids.reshape(-1)
+                pen = (
+                    recon_sqn.reshape(-1)
+                    if metric == "l2"
+                    else jnp.zeros((n_bkt * L,), jnp.float32)
+                )
+                pen = jnp.where(slots_flat >= 0, pen, jnp.inf)
+                return _ivf_probed_blockmin(
+                    probes, slot_ids, queries.astype(recon.dtype),
+                    recon.reshape(n_bkt * L, d), pen,
+                    (recon,), block_rescore, k, fw,
+                    probe_valid=pvalid, interpret=not plk._on_tpu(),
+                )
+
             def chunk_score(pl):
                 vecs, sqn = pl
                 c = vecs.shape[0]
@@ -665,17 +874,12 @@ def ivf_pq_search(
                     return qn[:, None] + sqn.reshape(1, -1) - 2.0 * dots
                 return -dots
 
-            def block_rescore(pl):
-                vecs, _ = pl  # [B, nb, w, d] bf16 reconstructions
-                v32 = vecs.astype(jnp.float32)
-                if metric == "l2":
-                    diff = v32 - queries[:, None, None, :]
-                    return jnp.sum(diff * diff, axis=-1)  # VPU exact
-                return -jnp.sum(v32 * queries[:, None, None, :], axis=-1)
+            def chunk_block_rescore(pl):
+                return block_rescore((pl[0],))
 
             return _ivf_blockmin(
                 probes, slot_ids, (recon, recon_sqn),
-                chunk_score, block_rescore, k, probe_valid=pvalid,
+                chunk_score, chunk_block_rescore, k, probe_valid=pvalid,
             )
 
         def score(lists):
@@ -802,6 +1006,36 @@ def ivf_sq_search(
 
     if _use_stream(queries.shape[0], probes.shape[1], slot_ids.shape[0]):
 
+        def block_rescore(pl):
+            codes = pl[0]  # [B, nb, w, d] u8
+            x_hat = vmin[None, None, None, :] + codes.astype(
+                jnp.float32
+            ) * step[None, None, None, :]
+            if metric == "l2":
+                diff = x_hat - queries[:, None, None, :]
+                return jnp.sum(diff * diff, axis=-1)  # VPU exact
+            return -jnp.sum(x_hat * queries[:, None, None, :], axis=-1)
+
+        n_bkt, L = slot_ids.shape
+        fw = _use_fused(n_bkt, L)
+        if fw:
+            # u8 kernel mode: the affine decode stays folded into the dot
+            # (q_scaled . codes); the dropped q.vmin term is per-query, so
+            # block ranking is unaffected (rescore decodes exactly)
+            slots_flat = slot_ids.reshape(-1)
+            pen = (
+                list_sqnorms.reshape(-1)
+                if metric == "l2"
+                else jnp.zeros((n_bkt * L,), jnp.float32)
+            )
+            pen = jnp.where(slots_flat >= 0, pen, jnp.inf)
+            return _ivf_probed_blockmin(
+                probes, slot_ids, q_scaled,
+                list_codes.reshape(n_bkt * L, -1), pen,
+                (list_codes,), block_rescore, k, fw,
+                probe_valid=pvalid, interpret=not plk._on_tpu(),
+            )
+
         def chunk_score(pl):
             codes, sqn = pl
             c, L, d = codes.shape
@@ -814,19 +1048,12 @@ def ivf_sq_search(
                 return qn[:, None] + sqn.reshape(1, -1) - 2.0 * dots
             return -dots
 
-        def block_rescore(pl):
-            codes, _ = pl  # [B, nb, w, d] u8
-            x_hat = vmin[None, None, None, :] + codes.astype(
-                jnp.float32
-            ) * step[None, None, None, :]
-            if metric == "l2":
-                diff = x_hat - queries[:, None, None, :]
-                return jnp.sum(diff * diff, axis=-1)  # VPU exact
-            return -jnp.sum(x_hat * queries[:, None, None, :], axis=-1)
+        def chunk_block_rescore(pl):
+            return block_rescore((pl[0],))
 
         return _ivf_blockmin(
             probes, slot_ids, (list_codes, list_sqnorms),
-            chunk_score, block_rescore, k, probe_valid=pvalid,
+            chunk_score, chunk_block_rescore, k, probe_valid=pvalid,
         )
 
     def score(lists):

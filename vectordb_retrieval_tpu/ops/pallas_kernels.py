@@ -108,8 +108,191 @@ def kmeans_assign_fused(points: jax.Array, centroids: jax.Array):
 # DEFAULT/HIGHEST dot precisions and HIGHEST costs ~2x HIGH. Revisit when
 # Mosaic grows HIGH-precision dots or bf16 block minima prove certificate-
 # safe. Kept (with tests) as the Pallas reference implementation.
+# (Round 4: superseded by :func:`dist_blockmin_pallas` below, which sidesteps
+# the precision limitation with an in-kernel 3-pass hi/lo split.)
 
 _BM_TILE = 2048
+
+
+# ---- transposed fused distance + consecutive-block-min (round 4) ----------
+#
+# Stage 1 of the blockmin certificate paths (exact scan AND the IVF masked
+# stream) spends most of its time round-tripping the [B, chunk] distance
+# matrix through HBM: XLA does not fuse the HIGH-precision 3-pass matmul
+# with its min-reduction consumer (measured 12.7 ms at 1M x 128d x 256q =
+# ~40 GB/s effective). This kernel keeps the distance block in VMEM and
+# emits only the per-w-block minima.
+#
+# Two tricks make it Mosaic-legal AND semantics-preserving:
+#   * distances are computed TRANSPOSED, dots[T, B] = db_tile @ q.T, so the
+#     per-block min over w CONSECUTIVE database rows is a leading-axis
+#     reshape [T, B] -> [T/w, w, B] (whole 8-aligned sublane tiles move as
+#     units — layout-preserving), then a min over axis 1. Lane-axis block
+#     segmentation (the old _blockmin_kernel) forced *interleaved* block
+#     membership, which breaks the IVF bucket->block mapping; consecutive
+#     blocks keep stage-2 slab gathers and probed-bucket arithmetic intact.
+#   * per-query terms (||q||^2, sq8's q.vmin) are DROPPED: top-k block
+#     selection per query is invariant to per-query constants, and the
+#     selected candidates are exactly rescored afterwards. The kernel
+#     computes min_w(pen - 2*dots) where pen[S/w, w] carries the per-slot
+#     constants (||x||^2 for l2, 0 for ip) and +inf for dead/padding slots.
+#
+# Payload modes (selected by dtype):
+#   * float32  — in-kernel 3-pass hi/lo split (a.b ~= ahi.bhi + ahi.blo +
+#     alo.bhi, each a DEFAULT bf16 dot with f32 accumulation): numerically
+#     equivalent to jax.lax.Precision.HIGH, which Mosaic cannot lower
+#     directly. Used by the exact scan — certificate guarantees unchanged.
+#   * bfloat16 — single DEFAULT dot against bf16 queries (exactly the IVF
+#     stream's current scoring semantics; candidates rescored in f32).
+#   * uint8    — codes converted to bf16 in VMEM (integers <= 255 are exact
+#     in bf16), dot against the pre-scaled queries (sq8's affine decode
+#     folded into the dot, ops/ivf.ivf_sq_search).
+
+
+def _make_dist_blockmin_kernel(w: int, mode: str, transpose_out: bool):
+    def kernel(*refs):
+        if mode == "f32":
+            qhi_ref, qlo_ref, db_ref, pen_ref, out_ref = refs
+            db = db_ref[:]
+            db_hi = db.astype(jnp.bfloat16)
+            db_lo = (db - db_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dots = sum(
+                jax.lax.dot_general(
+                    a,
+                    b,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for a, b in (
+                    (db_hi, qhi_ref[:]),
+                    (db_hi, qlo_ref[:]),
+                    (db_lo, qhi_ref[:]),
+                )
+            )  # [T, B] f32 — HIGH-equivalent, VMEM-resident
+        else:
+            q_ref, db_ref, pen_ref, out_ref = refs
+            db = db_ref[:]
+            if mode == "u8":
+                db = db.astype(jnp.bfloat16)
+            dots = jax.lax.dot_general(
+                db,
+                q_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        t, b = dots.shape
+        s3 = (-2.0 * dots).reshape(t // w, w, b) + pen_ref[:][:, :, None]
+        m = jnp.min(s3, axis=1)  # [T/w, B]
+        # in-kernel transpose: the [S/w, B] -> [B, S/w] materialising XLA
+        # transpose after the kernel measured ~3 ms at 1M x 256q (a third
+        # of the whole stage); VPU shuffles inside the kernel overlap the
+        # payload DMA instead
+        out_ref[:] = m.T if transpose_out else m
+
+    return kernel
+
+
+# per-cell VMEM budget for the fused blockmin kernel: db tile (double-
+# buffered) + bf16 splits + the [T, B] f32 dots block + output. 15 MiB —
+# just under Mosaic's 16 MiB scoped-vmem stack limit (same ceiling the
+# slab kernel runs at, VRT_SLAB_VMEM_BUDGET) so the tile can reach the
+# 128*w rows the transposed output layout needs at w=32, d=128, B=256.
+_DBM_VMEM_BUDGET = 15 << 20
+
+
+def dist_blockmin_tile(b: int, d: int, itemsize: int, w: int) -> int:
+    """Largest w-aligned db-tile row count fitting the VMEM budget."""
+    # bytes per row: payload (x2 double buffer, + bf16 splits for f32
+    # mode) + dots/min temporaries (~2 f32 lanes of B each)
+    per_row = d * itemsize * 2 + (d * 4 if itemsize == 4 else 0) + b * 8 + 8
+    t = max(w, _DBM_VMEM_BUDGET // max(per_row, 1))
+    return max(w, (t // (8 * w)) * (8 * w) or w)
+
+
+def dist_blockmin_pad_rows(n: int, w: int) -> int:
+    """Rows the payload must be padded to (pad with +inf-pen rows)."""
+    return -(-n // (8 * w)) * (8 * w)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "interpret"))
+def dist_blockmin_pallas(
+    queries: jax.Array,  # [B, d]: f32 (f32 mode) or bf16 (bf16/u8 payloads)
+    payload: jax.Array,  # [S, d] f32 | bf16 | u8; S % (8*w) == 0
+    pen: jax.Array,  # [S/w, w] f32 per-slot constant; +inf = dead slot
+    w: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Shifted per-block minima ``[B, S/w]``:
+    ``out[q, g] = min_{j<w}(pen[g, j] - 2 * dot(payload[g*w+j], q'))``.
+
+    Per-query constants are omitted (see module comment) — callers add
+    ``||q||^2`` afterwards if true distances are needed; top-k block
+    selection does not need them. Output is transposed to query-major by
+    one XLA transpose.
+    """
+    b, d = queries.shape
+    s = payload.shape[0]
+    mode = {
+        jnp.dtype(jnp.float32): "f32",
+        jnp.dtype(jnp.bfloat16): "bf16",
+        jnp.dtype(jnp.uint8): "u8",
+    }[jnp.dtype(payload.dtype)]
+    if s % (8 * w):
+        raise ValueError(f"S={s} must be a multiple of 8*w={8*w} "
+                         "(pad with +inf-pen rows, dist_blockmin_pad_rows)")
+    tile = min(dist_blockmin_tile(b, d, payload.dtype.itemsize, w), s)
+    # transposed output blocks are [B, tile/w] and need tile/w % 128 == 0
+    transpose_out = b % 8 == 0 and tile >= 128 * w
+    align = (128 if transpose_out else 8) * w
+    tile = (tile // align) * align
+    # edge tiles may read out of bounds (undefined values) — harmless:
+    # S % (8*w) == 0 means garbage rows only ever land in output columns
+    # that the out_shape crops; valid blocks of w consecutive rows never
+    # straddle a tile boundary (tile % w == 0)
+    n_tiles = -(-s // tile)
+
+    if mode == "f32":
+        q_hi = queries.astype(jnp.bfloat16)
+        q_lo = (queries - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        q_in = (q_hi, q_lo)
+        q_specs = [
+            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    else:
+        q_in = (queries.astype(jnp.bfloat16),)
+        q_specs = [
+            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        ]
+
+    if transpose_out:
+        out_spec = pl.BlockSpec(
+            (b, tile // w), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((b, s // w), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec(
+            (tile // w, b), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((s // w, b), jnp.float32)
+
+    out = pl.pallas_call(
+        _make_dist_blockmin_kernel(w, mode, transpose_out),
+        grid=(n_tiles,),
+        in_specs=q_specs
+        + [
+            pl.BlockSpec(
+                (tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile // w, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*q_in, payload, pen)
+    return out if transpose_out else out.T  # [B, S/w]
 
 
 def _blockmin_kernel(q_ref, qn_ref, db_ref, bm_ref, *, w: int):

@@ -58,6 +58,18 @@ def gather_merge(
     return md, jnp.take_along_axis(cat_i, sel, axis=1)
 
 
+def _np_coarse(centroids, bucket_lists) -> np.ndarray:
+    """Host-side ops/ivf.coarse_table: dead buckets (list id -1 from the
+    round-4 padded layout) get 1e9 sentinel rows instead of wrapping to
+    ``centroids[-1]`` (which would alias a real list's centroid under a
+    wrong list id and corrupt the exact-probe segment-min)."""
+    c = np.asarray(centroids)
+    tab = c[np.maximum(np.asarray(bucket_lists), 0)]
+    return np.where(
+        (np.asarray(bucket_lists) >= 0)[:, None], tab, np.float32(1e9)
+    )
+
+
 def _shard_bucketed_layouts(x, n_shards, nlist, seed, train_iters):
     """Per-shard coarse training + BUCKETED list layout with global ids.
 
@@ -155,7 +167,7 @@ def build_sharded_ivf_flat(
     bl_stack = np.zeros((n_shards, max_buckets), dtype=np.int32)
     for s, (centroids, slot_g, bucket_lists, _assign) in enumerate(layouts):
         nb, ml = slot_g.shape
-        cent_stack[s, :nb] = np.asarray(centroids)[bucket_lists]
+        cent_stack[s, :nb] = _np_coarse(centroids, bucket_lists)
         slot_stack[s, :nb, :ml] = slot_g
         bl_stack[s, :nb] = np.maximum(bucket_lists, 0)
         safe = np.where(slot_stack[s] >= 0, slot_stack[s], 0)
@@ -375,7 +387,7 @@ def build_sharded_ivf_coded(
         shards
     ):
         nb, ml = slot_g.shape
-        cent_stack[s, :nb] = np.asarray(cents)[bucket_lists]
+        cent_stack[s, :nb] = _np_coarse(cents, bucket_lists)
         slot_stack[s, :nb, :ml] = slot_g
         code_stack[s, :nb, :ml] = codes_l
         sqn_stack[s, :nb, :ml] = sqn_l

@@ -480,7 +480,8 @@ class MutableIVFIndex:
         if not bucket_len:
             bucket_len = max(8, min(-(-n // self.nlist) * 2, 2048))
         slot_np, bucket_lists_np, _ = ivfops.build_bucketed_lists(
-            assign, self.nlist, target_len=int(bucket_len), target_len_cap=0
+            assign, self.nlist, target_len=int(bucket_len), target_len_cap=0,
+            bucket_multiple=1,
         )
         # the PHYSICAL bucket width (build rounds target_len up to the pad
         # multiple) — growth rows must match it exactly
@@ -724,7 +725,9 @@ class MutableIVFIndex:
         from vectordb_retrieval_tpu.ops import ivf as ivfops
 
         self.compact()
-        coarse = self.centroids[jnp.asarray(self._bucket_lists)]
+        # coarse_table: unused pre-allocated buckets (list id -1) get
+        # sentinel rows instead of wrapping to centroids[-1]
+        coarse = ivfops.coarse_table(self.centroids, self._bucket_lists)
         meta = {
             "metric": self.metric,
             "dimension": self.dimension,
