@@ -336,7 +336,66 @@ class ExperimentRunner:
         )
         if ops.get("ndis"):
             base_metrics["operations_per_query"] = ops["ndis"] / max(len(queries), 1)
+        roof = self._roofline(algorithm, queries, k, base_metrics["qps"])
+        if roof:
+            base_metrics.update(roof)
         return base_metrics, indices, query_times
+
+    def _roofline(
+        self,
+        algorithm: BaseAlgorithm,
+        queries: np.ndarray,
+        k: int,
+        qps: float,
+    ) -> Dict[str, float]:
+        """Achieved TFLOP/s and GB/s from XLA cost analysis of one batch.
+
+        Round-3 verdict item: roofline columns in every committed roster
+        so selection/bandwidth regressions are visible per row. FLOPs and
+        bytes are the COMPILER-reported per-batch costs of the device
+        kernel (includes 3-pass HIGH matmul decompositions, masked lanes,
+        and padded work — honest about what the device executes, not the
+        algorithmic minimum); throughput = per-batch cost x batches/s at
+        the measured fused QPS.
+        """
+        if not getattr(algorithm, "has_device_kernel", False) or qps <= 0:
+            return {}
+        import jax
+        import jax.numpy as jnp
+
+        from vectordb_retrieval_tpu.utils.profiling import cost_estimate
+
+        n = queries.shape[0]
+        batch = min(self.config.query_batch_size or n, n)
+        art = getattr(algorithm, "artifact", None)
+        leaves, treedef = jax.tree_util.tree_flatten(
+            art.data if art is not None else {}
+        )
+        qb = jnp.asarray(queries[:batch].astype(np.float32))
+
+        def one(qb, leaves):
+            if art is not None:
+                art.data = jax.tree_util.tree_unflatten(treedef, leaves)
+            return algorithm.device_kernel(qb, k)
+
+        try:
+            cost = cost_estimate(one, qb, leaves)
+        finally:
+            if art is not None:
+                art.data = jax.tree_util.tree_unflatten(treedef, leaves)
+        if not cost:
+            return {}
+        batches_per_s = qps / float(batch)
+        out: Dict[str, float] = {}
+        if "flops" in cost:
+            out["kernel_flops_per_batch"] = cost["flops"]
+            out["achieved_tflops"] = cost["flops"] * batches_per_s / 1e12
+        if "bytes_accessed" in cost:
+            out["kernel_bytes_per_batch"] = cost["bytes_accessed"]
+            out["achieved_gbps"] = (
+                cost["bytes_accessed"] * batches_per_s / 1e9
+            )
+        return out
 
     def _timed_search(
         self,

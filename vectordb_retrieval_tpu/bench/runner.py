@@ -236,9 +236,9 @@ class BenchmarkRunner:
                 continue
             lines.append(
                 "| Algorithm | Recall | QPS | Mean query (ms) | Build (s) "
-                "| Index mem (MB) | Status |"
+                "| Index mem (MB) | TFLOP/s | GB/s | Status |"
             )
-            lines.append("|---|---|---|---|---|---|---|")
+            lines.append("|---|---|---|---|---|---|---|---|---|")
             for alg, m in results.items():
                 if not isinstance(m, dict) or alg.startswith("_"):
                     continue
@@ -249,8 +249,17 @@ class BenchmarkRunner:
                     f"| {self._fmt(m.get('mean_query_time_ms'), '.4f')} "
                     f"| {self._fmt(m.get('build_time_s'), '.2f')} "
                     f"| {self._fmt(m.get('index_memory_mb'), '.2f')} "
+                    f"| {self._fmt(m.get('achieved_tflops'), '.2f')} "
+                    f"| {self._fmt(m.get('achieved_gbps'), '.1f')} "
                     f"| {status} |"
                 )
+            lines.append("")
+            lines.append(
+                "TFLOP/s and GB/s are XLA-cost-analysis roofline estimates "
+                "of the fused device kernel per row (compiler-reported "
+                "per-batch flops/bytes x measured batches/s; '-' = row has "
+                "no traceable device kernel or analysis unavailable)."
+            )
             lines.append("")
         with open(os.path.join(self.output_dir, "benchmark_summary.md"), "w") as f:
             f.write("\n".join(lines))

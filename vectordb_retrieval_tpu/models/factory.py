@@ -365,6 +365,7 @@ class FactoryIndexer(BaseIndexer):
         del sqn_np, safe
         data: Dict[str, Any] = {
             "centroids": ivfops.coarse_table(centroids, bucket_lists),
+            "list_centroids": centroids,  # scatter-free exact-probe table
             "bucket_lists": bucket_lists,
             "slot_ids": jnp.asarray(slot_ids_np),
             "list_codes": list_codes,
@@ -420,6 +421,7 @@ class FactoryIndexer(BaseIndexer):
         )
         data: Dict[str, Any] = {
             "centroids": coarse,
+            "list_centroids": centroids,  # scatter-free exact-probe table
             "bucket_lists": bucket_lists,
             "slot_ids": slot_ids,
         }
@@ -585,11 +587,18 @@ class ANNSearcher(BaseSearcher):
         raw = int(
             self.params.get("nprobe", meta.get("nprobe", 10))
         )
-        return {
+        out = {
             "bucket_lists": bl,
             "nlist": nlist,
             "nprobe_lists": max(1, min(raw, nlist)),
         }
+        lc = self.artifact.data.get("list_centroids")
+        if lc is not None:
+            # scatter-free list-distance table for exact_probe_mask
+            # (segment-min over duplicated bucket rows measured ~4 ms per
+            # 256-query batch; one [B, nlist] matmul replaces it)
+            out["list_centroids"] = lc
+        return out
 
     def _sharded_probe_lists(self) -> int:
         """Exact reference nprobe semantics for the sharded family: each

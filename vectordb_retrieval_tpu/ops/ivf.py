@@ -194,6 +194,7 @@ def exact_probe_mask(
     nlist: int,
     nprobe_lists: int,
     budget: int,
+    list_centroids: jax.Array = None,  # [nlist, d] original centroid table
 ) -> Tuple[jax.Array, jax.Array]:
     """FAISS 'probe the nprobe nearest LISTS' probes on the bucketed layout.
 
@@ -218,13 +219,30 @@ def exact_probe_mask(
     b = queries.shape[0]
     n_bkt = coarse.shape[0]
     cd = dops.pairwise_distances(queries, coarse, "l2")  # [B, n_bkt]
-    ld = jax.ops.segment_min(
-        cd.T, bucket_lists, num_segments=nlist
-    ).T  # [B, nlist]
-    _, top_l = dops.top_k_smallest(ld, min(nprobe_lists, nlist))
-    sel = jnp.zeros((b, nlist), jnp.bool_)
-    sel = sel.at[jnp.arange(b)[:, None], top_l].set(True)
-    allowed = jnp.take(sel, bucket_lists, axis=1)  # [B, n_bkt]
+    if list_centroids is not None:
+        # scatter-free list distances: buckets carry exact COPIES of their
+        # list's centroid, so pairwise against the original [nlist, d]
+        # table IS the per-list segment-min (one small matmul; the
+        # segment_min scatter below measured ~4 ms at B=256/nlist=1024 —
+        # scripts/exp_ivf_fused_profile.py)
+        ld = dops.pairwise_distances(queries, list_centroids, "l2")
+    else:
+        # dead buckets (list id -1) clip to list 0: their 1e9 coarse rows
+        # can never win a min against list 0's real buckets
+        ld = jax.ops.segment_min(
+            cd.T, jnp.clip(bucket_lists, 0, nlist - 1), num_segments=nlist
+        ).T  # [B, nlist]
+    lv, _ = dops.top_k_smallest(ld, min(nprobe_lists, nlist))
+    # allowed = buckets whose list distance is within the nprobe-th
+    # smallest. Exact f32 ties at the threshold would admit the tied
+    # lists too (a superset only on exact-equal centroid distances —
+    # measure-zero with distinct centroids); scatter+gather rank
+    # selection costs ~2 ms more per batch on this backend.
+    thresh = lv[:, -1:]
+    ld_bucket = jnp.take(
+        ld, jnp.clip(bucket_lists, 0, nlist - 1), axis=1
+    )  # [B, n_bkt]
+    allowed = (ld_bucket <= thresh) & (bucket_lists >= 0)[None, :]
     cdm = jnp.where(allowed, cd, jnp.inf)
     vals, probes = dops.top_k_smallest(cdm, min(budget, n_bkt))
     return probes.astype(jnp.int32), jnp.isfinite(vals)
@@ -470,11 +488,18 @@ def _ivf_probed_blockmin(
     bm = plk.dist_blockmin_pallas(
         q_kernel, payload_kernel, pen.reshape(-1, w), w=w, interpret=interpret
     )  # [B, S/w] shifted minima (per-query constants omitted — rank-safe)
+    pclip = jnp.clip(probes, 0, n_bkt - 1)
+    # gather probed blockmins as whole BUCKET-ROWS ([B, nprobe, bpb] from
+    # the [B, n_bkt, bpb] view): per-element take_along_axis here costs
+    # ~row-latency per SCALAR (317k gathers at B=256/nprobe=40/bpb=31 —
+    # multiple ms); bpb-wide row gathers amortise it ~bpb-fold
+    mvals = jnp.take_along_axis(
+        bm.reshape(b, n_bkt, bpb), pclip[:, :, None], axis=1
+    ).reshape(b, -1)  # [B, nprobe*bpb]
     mem = (
-        jnp.clip(probes, 0, n_bkt - 1)[:, :, None] * bpb
+        pclip[:, :, None] * bpb
         + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bpb), 2)
     ).reshape(b, -1)  # [B, nprobe*bpb] probed block ids
-    mvals = jnp.take_along_axis(bm, mem, axis=1)
     if probe_valid is not None:
         mvals = jnp.where(
             jnp.repeat(probe_valid, bpb, axis=1), mvals, jnp.inf
@@ -483,11 +508,9 @@ def _ivf_probed_blockmin(
     sel_vals, msel = dops.top_k_smallest(mvals, nb)
     blk = jnp.take_along_axis(mem, msel, axis=1)  # [B, nb] global block ids
 
-    flat_slots = slot_ids.reshape(-1)
-    cand = flat_slots[
-        blk[:, :, None] * w
-        + jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
-    ]  # [B, nb, w]
+    # slot ids gathered as whole w-blocks (the flat per-element gather ran
+    # ~1M scalar lookups per batch at nb=124/w=32 — row-latency bound)
+    cand = slot_ids.reshape(-1, w)[blk]  # [B, nb, w]
 
     def blocks_of(x):
         return x.reshape((n_bkt * L // w, w) + x.shape[2:])[blk]
@@ -521,6 +544,7 @@ def ivf_flat_search(
     nlist: int = 0,                  # reference 'probe nprobe LISTS'
     nprobe_lists: int = 0,           # semantics (exact_probe_mask)
     slot_pen: jax.Array = None,      # [n_bkt, L] f32 additive penalty
+    list_centroids: jax.Array = None,  # [nlist, d] scatter-free probe table
 ) -> Tuple[jax.Array, jax.Array]:
     """IVF-Flat probe scan.
 
@@ -538,7 +562,8 @@ def ivf_flat_search(
     pvalid = None
     if bucket_lists is not None and nprobe_lists and nlist:
         probes, pvalid = exact_probe_mask(
-            queries, centroids, bucket_lists, nlist, nprobe_lists, nprobe
+            queries, centroids, bucket_lists, nlist, nprobe_lists, nprobe,
+            list_centroids=list_centroids,
         )
     else:
         probes = _coarse_probes(queries, centroids, nprobe)
@@ -757,6 +782,7 @@ def ivf_pq_search(
     nprobe_lists: int = 0,           # semantics (exact_probe_mask)
     list_rotations: jax.Array = None,   # [nlist, nb, bs, bs] per-list
     rot_bucket_lists: jax.Array = None,  # bucket -> list map for rotations
+    list_centroids: jax.Array = None,  # [nlist, d] scatter-free probe table
 ) -> Tuple[jax.Array, jax.Array]:
     """IVF-PQ with decode-on-read, in one of two transient regimes.
 
@@ -785,7 +811,8 @@ def ivf_pq_search(
     pvalid = None
     if bucket_lists is not None and nprobe_lists and nlist:
         probes, pvalid = exact_probe_mask(
-            queries, centroids, bucket_lists, nlist, nprobe_lists, nprobe
+            queries, centroids, bucket_lists, nlist, nprobe_lists, nprobe,
+            list_centroids=list_centroids,
         )
     else:
         probes = _coarse_probes(queries, centroids, nprobe)
@@ -984,11 +1011,13 @@ def ivf_sq_search(
     bucket_lists: jax.Array = None,  # with nlist/nprobe_lists: exact
     nlist: int = 0,                  # reference 'probe nprobe LISTS'
     nprobe_lists: int = 0,           # semantics (exact_probe_mask)
+    list_centroids: jax.Array = None,  # [nlist, d] scatter-free probe table
 ) -> Tuple[jax.Array, jax.Array]:
     pvalid = None
     if bucket_lists is not None and nprobe_lists and nlist:
         probes, pvalid = exact_probe_mask(
-            queries, centroids, bucket_lists, nlist, nprobe_lists, nprobe
+            queries, centroids, bucket_lists, nlist, nprobe_lists, nprobe,
+            list_centroids=list_centroids,
         )
     else:
         probes = _coarse_probes(queries, centroids, nprobe)

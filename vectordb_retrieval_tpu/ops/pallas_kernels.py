@@ -173,7 +173,9 @@ def _make_dist_blockmin_kernel(w: int, mode: str, transpose_out: bool):
             q_ref, db_ref, pen_ref, out_ref = refs
             db = db_ref[:]
             if mode == "u8":
-                db = db.astype(jnp.bfloat16)
+                # Mosaic has no direct u8->bf16 cast: widen to i32 first
+                # (values <= 255 are exact in bf16 either way)
+                db = db.astype(jnp.int32).astype(jnp.bfloat16)
             dots = jax.lax.dot_general(
                 db,
                 q_ref[:],

@@ -48,6 +48,37 @@ def flops_estimate(fn: Callable, *args: Any, **kwargs: Any) -> Optional[float]:
         return None
 
 
+def cost_estimate(fn: Callable, *args: Any, **kwargs: Any) -> Dict[str, float]:
+    """XLA cost analysis of one ``fn(*args)`` call: flops + bytes accessed.
+
+    Tries the client-side ``Lowered.cost_analysis()`` first (no backend
+    compile); falls back to compiling. Returns ``{}`` when neither is
+    available — callers must treat roofline numbers as best-effort.
+    """
+    import jax
+
+    try:
+        lowered = jax.jit(fn, **kwargs).lower(*args)
+        analysis = None
+        try:
+            analysis = lowered.cost_analysis()
+        except Exception:
+            analysis = None
+        if not analysis:
+            analysis = lowered.compile().cost_analysis()
+        if isinstance(analysis, list):  # older jax returns [dict]
+            analysis = analysis[0] if analysis else {}
+        out: Dict[str, float] = {}
+        if analysis:
+            if analysis.get("flops") is not None:
+                out["flops"] = float(analysis["flops"])
+            if analysis.get("bytes accessed") is not None:
+                out["bytes_accessed"] = float(analysis["bytes accessed"])
+        return out
+    except Exception:
+        return {}
+
+
 def memory_stats() -> Dict[str, Any]:
     """Per-device live-buffer statistics (honest HBM accounting)."""
     import jax
