@@ -243,3 +243,78 @@ def test_stream_rejects_unaligned_layout(rng):
             k=3,
             kprime=8,
         )
+
+
+# -- block-granular walk (ops/covertree.covertree_blockwalk_search) ------
+
+
+def _blockwalk_tree(rng, n=800, d=16):
+    x, q = _data(rng, n=n, d=d)
+    algo = get_algorithm_instance(
+        "covertree", d, metric="l2", descent="blockwalk"
+    )
+    algo.build_index(x)
+    return x, q, algo
+
+
+def test_blockwalk_equals_bruteforce(rng):
+    # CPU: the Pallas stage-1 runs in interpreter mode automatically
+    x, q, algo = _blockwalk_tree(rng)
+    for k in (1, 5, 20):
+        d, i = algo.batch_search(q, k)
+        full = np.sqrt(((q[:, None, :] - x[None, :, :]) ** 2).sum(-1))
+        oracle_d = np.sort(full, axis=1)[:, :k]
+        np.testing.assert_allclose(
+            np.sort(d, 1), oracle_d, rtol=1e-3, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            d, np.take_along_axis(full, i, 1), rtol=1e-3, atol=1e-3
+        )
+
+
+def test_blockwalk_matches_stream_walk(rng):
+    x, q, algo = _blockwalk_tree(rng)
+    d_b, i_b = algo.batch_search(q, 10)
+    algo_s = get_algorithm_instance(
+        "covertree", 16, metric="l2", descent="stream"
+    )
+    algo_s.build_index(x)
+    d_s, _ = algo_s.batch_search(q, 10)
+    # same tree, same exactness contract: identical distance multisets
+    np.testing.assert_allclose(np.sort(d_b, 1), np.sort(d_s, 1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_blockwalk_ndis_honest(rng):
+    x, q, algo = _blockwalk_tree(rng)
+    algo.batch_search(q, 5)
+    ops = algo.get_operations()
+    n_nodes = int(algo.artifact.metadata["n_nodes"])
+    # alive blocks can never exceed the slab, and must cover >= k rows/query
+    assert 5 * len(q) <= ops["ndis"] <= len(q) * n_nodes
+
+
+def test_blockwalk_overflow_flags_when_band_absurd(rng):
+    # an absurd error band makes the certificate unsatisfiable -> the
+    # search must FLAG (and the model fall back), never silently miss
+    from vectordb_retrieval_tpu.ops import covertree as ctops
+
+    x, q, algo = _blockwalk_tree(rng, n=400)
+    data = algo.artifact.data
+    meta = algo.artifact.metadata
+    import jax.numpy as jnp
+
+    res = ctops.covertree_blockwalk_search(
+        jnp.asarray(q),
+        data["slab"], data["point_ids"], data["is_real"],
+        data["radii"], data["parent_rel"],
+        depth_sizes=tuple(meta["depth_sizes"]),
+        k=5, kprime=64, err_c=10.0,
+    )
+    assert bool(np.asarray(res.overflow).any())
+    # and the model-level search stays exact via the fallback
+    d, i = algo.batch_search(q, 5)
+    full = np.sqrt(((q[:, None, :] - x[None, :, :]) ** 2).sum(-1))
+    np.testing.assert_allclose(
+        np.sort(d, 1), np.sort(full, axis=1)[:, :5], rtol=1e-3, atol=1e-3
+    )

@@ -421,6 +421,7 @@ class CoverTree(BaseAlgorithm):
         max_fanout: int = 64,
         kprime: int = 0,  # kth-bound fold width; 0 -> max(2k, k+256)
         err_c: float = ctops.DEFAULT_ERR_C,
+        descent: str = "auto",  # auto | blockwalk | stream
         **params: Any,
     ):
         super().__init__(dimension=dimension, metric=metric, **params)
@@ -431,6 +432,9 @@ class CoverTree(BaseAlgorithm):
         self.max_fanout = int(max_fanout)
         self.kprime = int(kprime)
         self.err_c = float(err_c)
+        if descent not in ("auto", "blockwalk", "stream"):
+            raise ValueError(f"unknown descent {descent!r}")
+        self.descent = descent
         self._ndis_per_query = 0.0
         self.artifact: Optional[IndexArtifact] = None
 
@@ -475,6 +479,18 @@ class CoverTree(BaseAlgorithm):
         self.is_built = True
 
     # -- search ---------------------------------------------------------
+    def _search_fn(self):
+        """Descent selection: the block-granular walk needs the Mosaic
+        kernel (or its interpreter, which is test-speed only), so 'auto'
+        routes to it exactly where it is compiled natively."""
+        from vectordb_retrieval_tpu.ops import pallas_kernels as plk
+
+        if self.descent == "stream" or (
+            self.descent == "auto" and not plk._on_tpu()
+        ):
+            return ctops.covertree_stream_search
+        return ctops.covertree_blockwalk_search
+
     def _kprime(self, eff_k: int, n: int) -> int:
         # fold width of the running kth upper bound (ops/covertree.py).
         # Wider = fewer slot collisions = tighter bound = more pruning;
@@ -500,7 +516,7 @@ class CoverTree(BaseAlgorithm):
         q = jnp.asarray(padded)
         n = meta["n_vectors"]
         eff_k = min(k, n)
-        res = ctops.covertree_stream_search(
+        res = self._search_fn()(
             q,
             data["slab"],
             data["point_ids"],
@@ -552,7 +568,7 @@ class CoverTree(BaseAlgorithm):
             qd = dops.normalize(qd)
         n = meta["n_vectors"]
         eff_k = min(k, n)
-        res = ctops.covertree_stream_search(
+        res = self._search_fn()(
             qd,
             data["slab"],
             data["point_ids"],
@@ -626,7 +642,7 @@ class CoverTree(BaseAlgorithm):
         p = super().get_parameters()
         p.update(
             {
-                "descent": "stream",
+                "descent": self.descent,
                 "kprime": self.kprime,
                 "err_c": self.err_c,
                 "max_fanout": self.max_fanout,
