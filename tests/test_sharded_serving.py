@@ -168,3 +168,141 @@ def test_snapshot_artifact_roundtrip(rng):
     d, i = s.batch_search(q, 4)
     od, oi = _oracle(q, x[10:], ids[10:], 4)
     np.testing.assert_allclose(d, od, rtol=1e-4, atol=1e-4)
+
+
+# -- sharded mutable IVF ---------------------------------------------------
+
+from vectordb_retrieval_tpu.parallel.serving import ShardedMutableIVF  # noqa: E402
+
+
+def _ivf_live(idx):
+    sl = idx._slot_host.reshape(-1)
+    live = np.nonzero(sl >= 0)[0]
+    vecs = np.asarray(idx._list_vecs).reshape(-1, idx.dimension)[live]
+    return vecs, sl[live]
+
+
+def _ivf_check_allprobe(idx, q, k):
+    """All-probe sharded IVF == exact over the live set."""
+    vecs, ids = _ivf_live(idx)
+    d, i = idx.search(q, k, nprobe=idx.n_buckets)
+    od, _ = _oracle(q, vecs, ids, min(k, len(ids)), idx.metric)
+    kk = od.shape[1]
+    np.testing.assert_allclose(d[:, :kk], od, rtol=1e-4, atol=1e-4)
+    pos = {int(s): j for j, s in enumerate(ids)}
+    for b in range(q.shape[0]):
+        for c in range(kk):
+            if i[b, c] >= 0:
+                assert int(i[b, c]) in pos
+
+
+def test_sharded_ivf_allprobe_exact(rng):
+    mesh = make_mesh(8)
+    x = rng.standard_normal((600, 12)).astype(np.float32)
+    q = rng.standard_normal((9, 12)).astype(np.float32)
+    idx = ShardedMutableIVF(x, mesh, nlist=16, nprobe=16, seed=3)
+    _ivf_check_allprobe(idx, q, 10)
+
+
+def test_sharded_ivf_partial_probe_recall_floor(rng):
+    mesh = make_mesh(8)
+    x = rng.standard_normal((800, 10)).astype(np.float32)
+    q = rng.standard_normal((16, 10)).astype(np.float32)
+    idx = ShardedMutableIVF(x, mesh, nlist=8, seed=3)
+    vecs, ids = _ivf_live(idx)
+    _, oi = _oracle(q, vecs, ids, 10)
+    # half the buckets per shard probed
+    _, i = idx.search(q, 10, nprobe=max(1, idx.n_buckets // (2 * 8)))
+    hits = sum(
+        len(set(i[b].tolist()) & set(oi[b].tolist())) for b in range(len(q))
+    )
+    assert hits / (len(q) * 10.0) >= 0.5
+
+
+def test_sharded_ivf_mutation_fuzz(rng):
+    """Interleaved add/delete/search vs the live-set oracle (all-probe)."""
+    mesh = make_mesh(8)
+    x = rng.standard_normal((300, 8)).astype(np.float32)
+    idx = ShardedMutableIVF(x, mesh, nlist=8, bucket_len=16, seed=5)
+    q = rng.standard_normal((6, 8)).astype(np.float32)
+    all_ids = list(range(300))
+    for step in range(6):
+        xa = rng.standard_normal((37, 8)).astype(np.float32)
+        new = idx.add(xa)
+        all_ids.extend(int(v) for v in new)
+        kill = rng.choice(len(all_ids), size=13, replace=False)
+        dead = [all_ids[j] for j in sorted(kill, reverse=True)]
+        for j in sorted(kill, reverse=True):
+            all_ids.pop(j)
+        assert idx.delete(dead) == len(dead)
+        _ivf_check_allprobe(idx, q, 7)
+    assert idx.n_active == len(all_ids)
+
+
+def test_sharded_ivf_growth_local(rng):
+    mesh = make_mesh(8)
+    x = rng.standard_normal((64, 8)).astype(np.float32)
+    idx = ShardedMutableIVF(x, mesh, nlist=4, bucket_len=8, seed=7)
+    nb0 = idx.n_buckets
+    idx.add(rng.standard_normal((1000, 8)).astype(np.float32))
+    assert idx.n_buckets > nb0  # grew
+    assert idx.n_buckets % 8 == 0  # uniform per-shard segments
+    q = rng.standard_normal((5, 8)).astype(np.float32)
+    _ivf_check_allprobe(idx, q, 9)
+
+
+def test_sharded_ivf_filter_ids(rng):
+    mesh = make_mesh(8)
+    x = rng.standard_normal((256, 8)).astype(np.float32)
+    idx = ShardedMutableIVF(x, mesh, nlist=8, seed=9)
+    q = rng.standard_normal((4, 8)).astype(np.float32)
+    allow = np.arange(0, 256, 3, dtype=np.int64)
+    d, i = idx.search(q, 8, nprobe=idx.n_buckets, filter_ids=allow)
+    ok = set(int(v) for v in allow)
+    assert all(int(v) in ok for v in i.ravel() if v >= 0)
+    vecs = x[allow]
+    od, _ = _oracle(q, vecs, allow, 8)
+    np.testing.assert_allclose(d, od, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_ivf_compact_preserves_results(rng):
+    mesh = make_mesh(8)
+    x = rng.standard_normal((400, 8)).astype(np.float32)
+    idx = ShardedMutableIVF(x, mesh, nlist=8, bucket_len=16, seed=11)
+    idx.delete(np.arange(0, 400, 2))
+    q = rng.standard_normal((5, 8)).astype(np.float32)
+    d0, i0 = idx.search(q, 6, nprobe=idx.n_buckets)
+    idx.compact()
+    d1, i1 = idx.search(q, 6, nprobe=idx.n_buckets)
+    np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-5)
+    assert (i0 == i1).all()
+    _ivf_check_allprobe(idx, q, 6)
+
+
+def test_sharded_ivf_replica_mesh_matches_ring(rng):
+    x = rng.standard_normal((256, 10)).astype(np.float32)
+    q = rng.standard_normal((8, 10)).astype(np.float32)
+    a = ShardedMutableIVF(x, make_mesh(4), nlist=8, seed=13)
+    mesh2 = make_mesh(8, axis_names=("replica", "db"), shape=(2, 4))
+    b = ShardedMutableIVF(
+        x, mesh2, nlist=8, seed=13, q_axis="replica"
+    )
+    da, ia = a.search(q, 9, nprobe=a.n_buckets)
+    db_, ib = b.search(q, 9, nprobe=b.n_buckets)
+    np.testing.assert_allclose(da, db_, rtol=1e-5, atol=1e-5)
+    assert (ia == ib).all()
+
+
+def test_sharded_ivf_snapshot_servable(rng):
+    from vectordb_retrieval_tpu.models.factory import ANNSearcher
+
+    mesh = make_mesh(8)
+    x = rng.standard_normal((200, 8)).astype(np.float32)
+    idx = ShardedMutableIVF(x, mesh, nlist=8, seed=17)
+    idx.delete(np.arange(50))
+    art = idx.to_artifact()
+    s = ANNSearcher(dimension=8, metric="l2")
+    s.artifact = art
+    s.is_built = True
+    d, i = s.batch_search(rng.standard_normal((4, 8)).astype(np.float32), 5)
+    assert (np.asarray(i) >= 50).all()
