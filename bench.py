@@ -37,6 +37,13 @@ BATCH = 256
 # scripts/exp_flagship_profile.py). Per-batch compute is unchanged — this
 # only shrinks the fixed-cost share, exactly as a longer serving run would.
 REPEATS = 96
+# scan unroll: the XLA while-loop costs ~0.6 ms PER ITERATION on this
+# backend (measured: unroll 1/4/16/32 -> 126k/178k/202k/205k QPS,
+# /tmp-style sweep committed as scripts/exp_flagship_unroll.py). Unrolling
+# merges loop steps; per-batch compute and the cross-batch checksum
+# dependency chain are unchanged (batches still execute in order — the
+# chain is real dataflow), so this is pure loop-overhead removal.
+UNROLL = 32
 
 
 def main() -> None:
@@ -70,7 +77,7 @@ def main() -> None:
             )
             return chk, i
 
-        chk, ids = jax.lax.scan(body, jnp.float32(0.0), qs)
+        chk, ids = jax.lax.scan(body, jnp.float32(0.0), qs, unroll=UNROLL)
         return chk, ids
 
     compiled = jax.jit(stream)

@@ -466,12 +466,20 @@ class ExperimentRunner:
                         data_treedef, leaves
                     )
 
+                # scan unroll: the XLA while-loop costs ~0.6 ms PER
+                # ITERATION on this backend (scripts/exp_flagship_unroll.py:
+                # 126k -> 205k QPS from unroll 1 -> 32 on the flagship).
+                # Unrolling merges loop steps; per-pass compute and the
+                # carry dependency are unchanged, so passes still execute
+                # in order — this only removes loop bookkeeping.
                 def one_pass(jitter):
                     def body(_, qb):
                         d, i = algorithm.device_kernel(qb + jitter, k)
                         return None, (d, i)
 
-                    _, (d, i) = jax.lax.scan(body, None, qs)
+                    _, (d, i) = jax.lax.scan(
+                        body, None, qs, unroll=min(4, qs.shape[0])
+                    )
                     return d, i
 
                 def rep_body(carry, _x):
@@ -482,7 +490,8 @@ class ExperimentRunner:
                     return jnp.max(d[0, 0]) * jnp.float32(1e-38), (d, i)
 
                 _, (d, i) = jax.lax.scan(
-                    rep_body, jnp.float32(0.0), None, length=repeats
+                    rep_body, jnp.float32(0.0), None, length=repeats,
+                    unroll=min(8, repeats),
                 )
                 return d[-1], i[-1]
 
