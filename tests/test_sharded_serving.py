@@ -239,14 +239,79 @@ def test_sharded_ivf_mutation_fuzz(rng):
     assert idx.n_active == len(all_ids)
 
 
+def _ivf_structural_check(idx, vec_of=None):
+    """Growth-safe invariants (round-4 advisor): device/host agreement, no
+    live slot in a dead bucket, _id_loc points at the id's own vector,
+    free-slot entries reference dead slots of the right list, and no live
+    slot beyond a bucket's fill high-water mark."""
+    sl = idx._slot_host
+    bl = idx._bucket_lists
+    dev_sl = np.asarray(idx._slot_ids)
+    dev_v = np.asarray(idx._list_vecs)
+    np.testing.assert_array_equal(dev_sl.astype(np.int64), sl)
+    live_bucket = (sl >= 0).any(axis=1)
+    assert not (live_bucket & (bl < 0)).any(), "live slot in dead bucket"
+    assert len(idx._id_loc) == int((sl >= 0).sum())
+    for rid, (g, s) in idx._id_loc.items():
+        assert int(sl[g, s]) == rid
+        if vec_of is not None and rid in vec_of:
+            np.testing.assert_allclose(
+                dev_v[g, s], vec_of[rid], rtol=1e-5, atol=1e-6
+            )
+    for l, stack in idx._list_free.items():
+        for g, s in stack:
+            assert int(bl[g]) == l, "free entry in foreign/dead bucket"
+            assert int(sl[g, s]) < 0, "free entry on a live slot"
+    for g in range(sl.shape[0]):
+        assert (sl[g, int(idx._fill[g]):] < 0).all()
+
+
+def _ivf_selfquery_recall(idx, vec_of, ids, nprobe=2, thresh=0.95):
+    """A row's own vector at small nprobe must find its id: its bucket is
+    in the nearest list, so it ranks first on its shard. Misplaced rows
+    (the round-4 grow bug) fail this at any realistic nprobe."""
+    sample = list(ids)[:64]
+    q = np.stack([vec_of[int(i)] for i in sample])
+    _, got = idx.search(q, 1, nprobe=nprobe)
+    hits = sum(1 for j, i0 in enumerate(sample) if int(i0) in got[j])
+    assert hits / len(sample) >= thresh, f"self-recall {hits}/{len(sample)}"
+
+
 def test_sharded_ivf_growth_local(rng):
     mesh = make_mesh(8)
     x = rng.standard_normal((64, 8)).astype(np.float32)
     idx = ShardedMutableIVF(x, mesh, nlist=4, bucket_len=8, seed=7)
     nb0 = idx.n_buckets
-    idx.add(rng.standard_normal((1000, 8)).astype(np.float32))
-    assert idx.n_buckets > nb0  # grew
+    xa = rng.standard_normal((2000, 8)).astype(np.float32)
+    new_ids = idx.add(xa)
+    assert idx.n_buckets > nb0  # grew (multiple times mid-batch demand)
     assert idx.n_buckets % 8 == 0  # uniform per-shard segments
+    vec_of = {int(i): x[j] for j, i in enumerate(range(64))}
+    vec_of.update({int(i): xa[j] for j, i in enumerate(new_ids)})
+    _ivf_structural_check(idx, vec_of)
+    _ivf_selfquery_recall(idx, vec_of, new_ids, nprobe=2)
+    q = rng.standard_normal((5, 8)).astype(np.float32)
+    _ivf_check_allprobe(idx, q, 9)
+
+
+def test_sharded_ivf_free_slots_survive_growth(rng):
+    """Deleted-slot reuse across a growth: _list_free entries recorded
+    before _grow must be remapped to the new bucket numbering (round-4
+    advisor, serving.py:594) or reused slots land in dead buckets."""
+    mesh = make_mesh(8)
+    x = rng.standard_normal((128, 8)).astype(np.float32)
+    idx = ShardedMutableIVF(
+        x, mesh, nlist=4, bucket_len=8, seed=7, compact_frac=10.0
+    )  # compact_frac high: keep tombstones in _list_free across the grow
+    ids0 = np.arange(128)
+    idx.delete(ids0[::4])  # 32 free slots recorded pre-grow
+    assert any(idx._list_free.values())
+    xa = rng.standard_normal((1500, 8)).astype(np.float32)
+    new_ids = idx.add(xa)  # forces >=1 growth, then reuses free slots
+    vec_of = {int(i): x[i] for i in ids0 if i % 4}
+    vec_of.update({int(i): xa[j] for j, i in enumerate(new_ids)})
+    _ivf_structural_check(idx, vec_of)
+    _ivf_selfquery_recall(idx, vec_of, new_ids, nprobe=2)
     q = rng.standard_normal((5, 8)).astype(np.float32)
     _ivf_check_allprobe(idx, q, 9)
 

@@ -232,17 +232,25 @@ def exact_probe_mask(
         ld = jax.ops.segment_min(
             cd.T, jnp.clip(bucket_lists, 0, nlist - 1), num_segments=nlist
         ).T  # [B, nlist]
-    lv, _ = dops.top_k_smallest(ld, min(nprobe_lists, nlist))
-    # allowed = buckets whose list distance is within the nprobe-th
-    # smallest. Exact f32 ties at the threshold would admit the tied
-    # lists too (a superset only on exact-equal centroid distances —
-    # measure-zero with distinct centroids); scatter+gather rank
-    # selection costs ~2 ms more per batch on this backend.
+    np_lists = min(nprobe_lists, nlist)
+    lv, _ = dops.top_k_smallest(ld, np_lists)
+    # allowed = the EXACT nprobe nearest lists, ties at the threshold
+    # broken by list id (lexicographic on (distance, list_id)) — the
+    # reference's `np.argsort(coarse)[:nprobe]` semantics
+    # (src/algorithms/modular.py). Admitting every threshold-tied list
+    # would be a superset that changes recall parity on degenerate
+    # corpora with duplicated centroids (round-4 advisor, ivf.py:244).
+    # Cost: one cumsum over the list axis — no scatter/rank selection.
     thresh = lv[:, -1:]
-    ld_bucket = jnp.take(
-        ld, jnp.clip(bucket_lists, 0, nlist - 1), axis=1
-    )  # [B, n_bkt]
-    allowed = (ld_bucket <= thresh) & (bucket_lists >= 0)[None, :]
+    below = ld < thresh  # [B, nlist]
+    tied = ld == thresh
+    remaining = np_lists - below.sum(axis=1, keepdims=True)
+    tie_rank = jnp.cumsum(tied.astype(jnp.int32), axis=1)
+    allowed_list = below | (tied & (tie_rank <= remaining))
+    allowed = (
+        jnp.take(allowed_list, jnp.clip(bucket_lists, 0, nlist - 1), axis=1)
+        & (bucket_lists >= 0)[None, :]
+    )
     cdm = jnp.where(allowed, cd, jnp.inf)
     vals, probes = dops.top_k_smallest(cdm, min(budget, n_bkt))
     return probes.astype(jnp.int32), jnp.isfinite(vals)

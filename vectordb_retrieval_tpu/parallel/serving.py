@@ -520,9 +520,12 @@ class ShardedMutableIVF:
         assign = np.asarray(kmeans_assign(xd, self.centroids))
         if not bucket_len:
             bucket_len = max(8, min(-(-n // self.nlist) * 2, 2048))
+        # pad_multiple=8 (not the fused-kernel 32): mutable serving opts out
+        # of the fused layout (bucket_multiple=1) and small bucket_len would
+        # otherwise be silently rounded to 32 — 4x padded slots/probe work
         slot_np, bucket_lists_np, _ = ivfops.build_bucketed_lists(
             assign, self.nlist, target_len=int(bucket_len), target_len_cap=0,
-            bucket_multiple=1,
+            bucket_multiple=1, pad_multiple=8,
         )
         self._L = int(slot_np.shape[1])
         nb_used = slot_np.shape[0]
@@ -630,7 +633,18 @@ class ShardedMutableIVF:
             self._slot_host, -1, (new * d0, self._L)
         )
         self._fill = expand(self._fill, 0, (new * d0,))
-        # global bucket numbering moved: rebuild host maps
+        # global bucket numbering moved: rebuild host maps, and remap the
+        # free-slot stacks the same way (g = s*old+r -> s*new+r) — stale
+        # old-numbering entries would make later adds write rows into
+        # dead/foreign buckets (round-4 advisor, serving.py:594)
+        def _remap_g(g: int) -> int:
+            s, r = divmod(g, old)
+            return s * new + r
+
+        self._list_free = {
+            l: [(_remap_g(g), s_idx) for g, s_idx in stack]
+            for l, stack in self._list_free.items()
+        }
         self._list_buckets = {
             l: [int(g) for g in np.nonzero(self._bucket_lists == l)[0]]
             for l in range(self.nlist)
@@ -685,6 +699,24 @@ class ShardedMutableIVF:
         if self.metric == "cosine":
             xd = dops.normalize(xd)
         assign = np.asarray(kmeans_assign(xd, self.centroids))
+        # Pre-size capacity BEFORE taking any slots: a _grow inside the
+        # loc-collection loop renumbers global bucket indices (shard s's
+        # segment moves from s*old to s*new), so locs collected earlier
+        # would scatter rows into dead/foreign buckets (round-4 advisor,
+        # serving.py:688). Grow until the whole batch's bucket demand fits;
+        # _claim_bucket then never triggers _grow mid-batch.
+        counts = np.bincount(assign, minlength=self.nlist)
+        need = 0
+        for l in np.nonzero(counts)[0]:
+            avail = len(self._list_free[int(l)]) + sum(
+                self._L - int(self._fill[g])
+                for g in self._list_buckets[int(l)]
+            )
+            deficit = int(counts[l]) - avail
+            if deficit > 0:
+                need += -(-deficit // self._L)
+        while need > int(self._shard_free_buckets().sum()):
+            self._grow()
         locs = [self._take_slot(int(l)) for l in assign]
         g_idx = np.asarray([g for g, _ in locs], np.int32)
         s_idx = np.asarray([s for _, s in locs], np.int32)

@@ -479,9 +479,12 @@ class MutableIVFIndex:
         assign = np.asarray(kmeans_assign(xd, self.centroids))
         if not bucket_len:
             bucket_len = max(8, min(-(-n // self.nlist) * 2, 2048))
+        # pad_multiple=8 (not the fused-kernel 32): mutable serving opts out
+        # of the fused layout (bucket_multiple=1) and small bucket_len would
+        # otherwise be silently rounded to 32 — 4x padded slots/probe work
         slot_np, bucket_lists_np, _ = ivfops.build_bucketed_lists(
             assign, self.nlist, target_len=int(bucket_len), target_len_cap=0,
-            bucket_multiple=1,
+            bucket_multiple=1, pad_multiple=8,
         )
         # the PHYSICAL bucket width (build rounds target_len up to the pad
         # multiple) — growth rows must match it exactly
