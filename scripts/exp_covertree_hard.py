@@ -119,6 +119,9 @@ def main() -> None:
         payload = {"dataset": f"msmarco_surrogate n={args.n} d={x.shape[1]}",
                    "k": args.k, "b": args.b, "iters": args.iters,
                    "build_s": build_s, "rows": rows}
+        out_dir = os.path.dirname(args.out)
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(payload, f, indent=2)
         print(f"wrote {args.out}", flush=True)

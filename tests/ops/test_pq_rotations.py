@@ -217,3 +217,86 @@ def test_rotated_search_regimes_agree(rng):
     )
     # top-1 agrees up to bf16 near-ties
     assert (np.asarray(i1)[:, 0] == np.asarray(i2)[:, 0]).mean() >= 0.75
+
+
+def test_auto_rotation_block_prefers_lane_friendly_divisors():
+    assert pqops.auto_rotation_block(384) == 128
+    assert pqops.auto_rotation_block(128) == 128
+    assert pqops.auto_rotation_block(64) == 64
+    assert pqops.auto_rotation_block(96) == 96
+    # GloVe-50: no preferred size divides 50 -> full-dim rotation
+    assert pqops.auto_rotation_block(50) == 50
+    assert pqops.auto_rotation_block(16) == 16
+
+
+def test_rotation_gain_separates_orientation_regimes(rng):
+    """The pq_rotations='auto' measurement: held-out MSE gain must be
+    large on per-list-ORIENTED residuals and ~zero on a shared-frame
+    isotropic gaussian (where rotations are provably recall-neutral —
+    docs/roadmap.md #3)."""
+    d, m, nlist = 16, 8, 6
+    res, assign = _anisotropic_per_list(rng, nlist, 400, d)
+    gain, err_p, err_r, rots, cb = pqops.rotation_gain(
+        jnp.asarray(res), jnp.asarray(assign), nlist, m, bs=16, seed=0
+    )
+    assert gain > 0.3, (gain, err_p, err_r)
+    assert err_r < err_p
+    assert rots.shape == (nlist, 1, 16, 16)
+
+    iso = rng.standard_normal((nlist * 400, d)).astype(np.float32)
+    a_iso = rng.integers(0, nlist, iso.shape[0]).astype(np.int32)
+    gain_iso, *_ = pqops.rotation_gain(
+        jnp.asarray(iso), jnp.asarray(a_iso), nlist, m, bs=16, seed=0
+    )
+    assert gain_iso < 0.05, gain_iso
+
+
+@pytest.mark.parametrize("stream", [False, True])
+def test_factory_auto_decision_paths(rng, stream, tmp_path, monkeypatch):
+    """pq_rotations='auto' end-to-end: the ON path (per-list-oriented
+    residuals -> rotations trained + gain recorded) and the OFF path
+    (threshold not met -> plain codebook, decision still recorded) on
+    both build paths (in-memory + streaming).
+
+    The OFF path is exercised by raising the threshold rather than by
+    constructing a zero-gain corpus: ANY corpus the coarse quantiser
+    clusters imperfectly carries genuine per-list anisotropy (Voronoi
+    truncation, merged modes), so held-out gain > 0 is the NORM — the
+    committed regime A/B lives in
+    benchmark_results/round5_rotations_ab/rotations_ab.json, and the
+    true zero-gain control (structure-free random assignments) is
+    test_rotation_gain_separates_orientation_regimes above."""
+    from vectordb_retrieval_tpu.models.factory import FactoryIndexer
+
+    d, nlist, per = 16, 6, 400
+    res, assign = _anisotropic_per_list(rng, nlist, per, d)
+    centers = rng.standard_normal((nlist, d)).astype(np.float32) * 10
+    oriented = (res + centers[assign]).astype(np.float32)
+
+    def build(x):
+        corpus = x
+        if stream:
+            from vectordb_retrieval_tpu.data.storage import BigStore
+
+            path = str(tmp_path / f"c{id(x)}{rng.integers(1 << 30)}.big")
+            with BigStore.create(path, d) as w:
+                w.append(x)
+            corpus = BigStore.open(path)
+        return FactoryIndexer(
+            metric="l2", index_key=f"IVF{nlist},PQ8",
+            pq_rotations="auto", nprobe=nlist, train_iters=6,
+        ).build(corpus, d)
+
+    art_on = build(oriented)
+    auto = art_on.metadata["pq_rot_auto"]
+    assert auto["enabled"] is True and auto["gain"] >= 0.05, auto
+    assert "list_rotations" in art_on.data
+    assert art_on.metadata["pq_rot_bs"] == auto["bs"]
+
+    monkeypatch.setattr(FactoryIndexer, "PQ_ROT_AUTO_GAIN", 2.0)
+    art_off = build(oriented)
+    auto_off = art_off.metadata["pq_rot_auto"]
+    assert auto_off["enabled"] is False, auto_off
+    assert auto_off["threshold"] == 2.0
+    assert "list_rotations" not in art_off.data
+    assert "pq_rot_bs" not in art_off.metadata

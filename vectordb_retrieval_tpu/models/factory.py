@@ -17,7 +17,7 @@ Registry aliases keep reference YAML configs loadable verbatim:
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -99,7 +99,7 @@ class FactoryIndexer(BaseIndexer):
         list_dtype: str = "bf16",
         exact_rescore: bool = False,
         bucket_len: int = 0,
-        pq_rotations: int = 0,
+        pq_rotations: Any = 0,
         **params: Any,
     ):
         super().__init__(metric=metric, **params)
@@ -123,10 +123,68 @@ class FactoryIndexer(BaseIndexer):
         # +1x corpus memory — the memory-parity default skips it)
         self.exact_rescore = bool(exact_rescore)
         # per-list block-diagonal residual rotations for IVF-PQ (block
-        # size in dims; 0 = off). Beyond the FAISS grammar: aligns each
-        # list's residual frame to the SHARED codebook
+        # size in dims; 0 = off; 'auto' = build-time held-out MSE A/B
+        # decides — see _residual_coding). Beyond the FAISS grammar:
+        # aligns each list's residual frame to the SHARED codebook
         # (ops/pq.train_per_list_rotations); storage [nlist, d/bs, bs, bs].
-        self.pq_rotations = int(pq_rotations)
+        if isinstance(pq_rotations, str) and pq_rotations.lower() == "auto":
+            self.pq_rotations: Any = "auto"
+        else:
+            self.pq_rotations = int(pq_rotations)
+
+    # pq_rotations='auto' decision threshold: enable per-list rotations
+    # only when they cut HELD-OUT residual reconstruction MSE by >= this
+    # fraction. Measured regimes (scripts/exp_manifold_structure.py):
+    # shared-frame gaussian surrogates ~0.00-0.02 (rotations recall-neutral,
+    # ~16% decode QPS cost); per-list-oriented manifolds >= 0.3 (rotations
+    # cut quantisation error many-fold). 0.05 separates them with margin.
+    PQ_ROT_AUTO_GAIN = 0.05
+
+    def _residual_coding(
+        self,
+        residuals: jax.Array,
+        assignments: jax.Array,
+        nlist: int,
+        m: int,
+        meta: Dict[str, Any],
+        seed: int,
+    ) -> Tuple[Optional[jax.Array], jax.Array]:
+        """``(rotations | None, codebooks)`` for IVF-PQ residual coding,
+        resolving ``pq_rotations='auto'`` via the held-out MSE A/B
+        (ops/pq.rotation_gain); the decision + measured gain land in
+        ``meta['pq_rot_auto']`` so benchmark artifacts record WHY."""
+        want = self.pq_rotations
+        if want == "auto":
+            bs = pqops.auto_rotation_block(int(residuals.shape[1]))
+            gain, err_p, err_r, rots, cb_rot = pqops.rotation_gain(
+                residuals, assignments, nlist, m, bs,
+                seed=seed, iters=self.train_iters,
+            )
+            enabled = gain >= self.PQ_ROT_AUTO_GAIN
+            meta["pq_rot_auto"] = {
+                "bs": bs,
+                "gain": round(float(gain), 4),
+                "err_plain": float(err_p),
+                "err_rot": float(err_r),
+                "threshold": self.PQ_ROT_AUTO_GAIN,
+                "enabled": bool(enabled),
+            }
+            if enabled:
+                meta["pq_rot_bs"] = bs
+                return rots, cb_rot
+            return None, pqops.pq_train(
+                residuals, m, seed=seed, iters=self.train_iters
+            )
+        if want:
+            meta["pq_rot_bs"] = int(want)
+            rots, cb = pqops.train_per_list_rotations(
+                residuals, assignments, nlist, m, int(want),
+                seed=seed, iters=self.train_iters,
+            )
+            return rots, cb
+        return None, pqops.pq_train(
+            residuals, m, seed=seed, iters=self.train_iters
+        )
 
     def build(self, vectors: np.ndarray, dimension: int) -> IndexArtifact:
         spec = parse_index_key(self.index_key)
@@ -267,19 +325,10 @@ class FactoryIndexer(BaseIndexer):
             m = spec["m"]
             meta["m"] = m
             s_assign = kmeans_assign(sample, centroids)
-            rots = None
-            if self.pq_rotations:
-                meta["pq_rot_bs"] = self.pq_rotations
-                rots, codebooks = pqops.train_per_list_rotations(
-                    sample - centroids[s_assign], s_assign, nlist, m,
-                    self.pq_rotations,
-                    seed=self.seed + 1, iters=self.train_iters,
-                )
-            else:
-                codebooks = pqops.pq_train(
-                    sample - centroids[s_assign], m,
-                    seed=self.seed + 1, iters=self.train_iters,
-                )
+            rots, codebooks = self._residual_coding(
+                sample - centroids[s_assign], s_assign, nlist, m, meta,
+                seed=self.seed + 1,
+            )
             code_w = m
         else:
             vmin, step = sqops.sq_train(sample)
@@ -449,28 +498,17 @@ class FactoryIndexer(BaseIndexer):
             assign_dev = jnp.asarray(assignments)
             residuals = x - centroids[assign_dev]
             r_sample = training_sample(n, 256, self.seed + 1)
-            if self.pq_rotations:
-                bs = self.pq_rotations
-                meta["pq_rot_bs"] = bs
-                tr_r = residuals if r_sample is None else residuals[r_sample]
-                tr_a = (
-                    assign_dev if r_sample is None else assign_dev[r_sample]
-                )
-                rots, codebooks = pqops.train_per_list_rotations(
-                    tr_r, tr_a, nlist, m, bs,
-                    seed=self.seed, iters=self.train_iters,
-                )
+            tr_r = residuals if r_sample is None else residuals[r_sample]
+            tr_a = assign_dev if r_sample is None else assign_dev[r_sample]
+            rots, codebooks = self._residual_coding(
+                tr_r, tr_a, nlist, m, meta, seed=self.seed
+            )
+            if rots is not None:
                 codes = pqops.pq_encode_rotated(
                     residuals, assign_dev, rots, codebooks
                 )
                 data["list_rotations"] = rots
             else:
-                train_r = (
-                    residuals if r_sample is None else residuals[r_sample]
-                )
-                codebooks = pqops.pq_train(
-                    train_r, m, seed=self.seed, iters=self.train_iters
-                )
                 codes = pqops.pq_encode(residuals, codebooks)
             sqn = pqops.pq_code_sqnorms(codes, codebooks)
             data["codebooks"] = codebooks
