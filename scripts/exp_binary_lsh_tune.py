@@ -72,16 +72,23 @@ art = BinaryLSHIndexer(num_bits=args.num_bits, metric=metric).build(
     x, x.shape[1]
 )
 qd = jnp.asarray(q)
+# artifact arrays MUST be jit ARGUMENTS: a closure embeds the corpus +
+# code words as HLO constants — pathological program uploads through the
+# tunnel (CLAUDE.md; the first version of this probe hung indefinitely)
+leaves, treedef = jax.tree_util.tree_flatten(art.data)
 rows = {}
 for mult in (float(m) for m in args.mults.split(",")):
-    fn = jax.jit(
-        lambda qb: binary_lsh_search(art, qb, args.k, metric, mult)
-    )
-    d_, i_ = fn(qd)
+
+    @jax.jit
+    def fn(qb, lv, _mult=mult):
+        art.data = jax.tree_util.tree_unflatten(treedef, lv)
+        return binary_lsh_search(art, qb, args.k, metric, _mult)
+
+    d_, i_ = fn(qd, leaves)
     ids = np.asarray(i_)  # compile + warm
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        d_, i_ = fn(qd)
+        d_, i_ = fn(qd, leaves)
     ids = np.asarray(i_)
     dt = (time.perf_counter() - t0) / args.iters
     rec = float(recall_at_k(gt, ids, args.k))

@@ -33,6 +33,12 @@ from vectordb_retrieval_tpu.models.base import (
 from vectordb_retrieval_tpu.ops import distances as dops
 from vectordb_retrieval_tpu.ops import lsh as lshops
 
+# binary-LSH rerank strategy crossover: above this many candidates per
+# query the gather-based exact rerank (ops/lsh.rerank, ~0.2 us/row HLO
+# gathers) loses to the gather-free dense threshold pass
+# (ops/lsh.hamming_threshold_rerank)
+_GATHER_RERANK_MAX_CANDS = 256
+
 
 @register_indexer("LSHIndexer")
 class LSHIndexer(BaseIndexer):
@@ -238,7 +244,19 @@ def binary_lsh_search(
     )
     qwords = lshops.pack_bits(bits)
     n_cand = min(max(int(np.ceil(multiplier * k)), k), n)
-    _, cand = lshops.hamming_candidates(qwords, artifact.data["words"], n_cand)
+    ham, cand = lshops.hamming_candidates(
+        qwords, artifact.data["words"], n_cand
+    )
+    if n_cand > _GATHER_RERANK_MAX_CANDS:
+        # recall-matched operating points need thousands of candidates
+        # per query; per-row gathers (~0.2 us/row) lose to a gather-free
+        # dense pass there (ops/lsh.hamming_threshold_rerank). The
+        # radius-threshold candidate set is the argsort cut plus
+        # Hamming ties — a superset, recall can only improve.
+        return lshops.hamming_threshold_rerank(
+            q, qwords, artifact.data["vectors"], artifact.data["words"],
+            ham[:, -1:], k, metric=metric,
+        )
     return lshops.rerank(q, artifact.data["vectors"], cand, k, metric=metric)
 
 

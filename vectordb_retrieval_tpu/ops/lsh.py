@@ -222,3 +222,93 @@ def _hamming_candidates_jit(
     )
     ids = jnp.where(ham < big, ids, -1)
     return ham, ids
+
+
+def hamming_threshold_rerank(
+    queries, query_words, database, db_words, kth, k,
+    metric="l2", chunk=_VOTE_CHUNK,
+):
+    """Chunk-clamped wrapper over the jitted dense threshold rerank."""
+    chunk = dops.clamp_chunk(chunk, db_words.shape[0])
+    return _hamming_threshold_rerank_jit(
+        queries, query_words, database, db_words, kth, k, metric, chunk
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk"))
+def _hamming_threshold_rerank_jit(
+    queries: jax.Array,  # [B, d] f32
+    query_words: jax.Array,  # [B, W] uint32
+    database: jax.Array,  # [N, d] f32
+    db_words: jax.Array,  # [N, W] uint32
+    kth: jax.Array,  # [B, 1] int32 — per-query Hamming radius
+    k: int,
+    metric: str = "l2",
+    chunk: int = _VOTE_CHUNK,
+) -> Tuple[jax.Array, jax.Array]:
+    """Gather-free exact rerank of every row within a Hamming radius.
+
+    TPU replacement for ``rerank`` at recall-matched candidate counts:
+    per-row gathers cost ~0.2 us/row regardless of dtype (CLAUDE.md), so
+    gathering C candidates per query loses to a fused DENSE pass over
+    the corpus (Hamming scan + MXU distance scan + mask + running top-k)
+    as soon as B*C approaches N/50 — and the recall-matched binary-LSH
+    operating points (C = 2.5k-10k of 20k rows) are far past that.
+
+    Candidate set = ``{i : hamming(q, x_i) <= kth[q]}``. With ``kth``
+    from :func:`hamming_candidates`'s n_cand-th value this is the gather
+    path's candidate set plus any rows TIED at the radius — a superset
+    of FAISS IndexLSH's argsort cut, so recall can only improve.
+
+    Distances use HIGHEST-precision dot form (q.x on the MXU would drop
+    to bf16 and misrank the rescore otherwise); l2 returns the squared
+    distance with the ||q||^2 term included for parity with ``rerank``.
+    """
+    n, d = database.shape
+    b = queries.shape[0]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    db_p = jnp.pad(database, ((0, pad), (0, 0))).reshape(n_chunks, chunk, d)
+    words_p = jnp.pad(db_words, ((0, pad), (0, 0))).reshape(
+        n_chunks, chunk, -1
+    )
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    q_sqn = jnp.sum(queries * queries, axis=1, keepdims=True)  # [B, 1]
+
+    init = (
+        jnp.full((b, k), jnp.inf, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+
+    def step(carry, inp):
+        best_d, best_i = carry
+        chunk_idx, xc, wc = inp
+        x = jnp.bitwise_xor(query_words[:, None, :], wc[None, :, :])
+        ham = jnp.sum(
+            jax.lax.population_count(x).astype(jnp.int32), axis=2
+        )  # [B, C]
+        ids = row_ids + chunk_idx * chunk
+        keep = (ids < n) & (ham <= kth)
+        dots = jax.lax.dot_general(
+            queries, xc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [B, C]
+        if metric == "l2":
+            sqn = jnp.sum(xc * xc, axis=1)  # [C]
+            dist = q_sqn + sqn[None, :] - 2.0 * dots
+        else:
+            dist = -dots
+        dist = jnp.where(keep, dist, jnp.inf)
+        cat_d = jnp.concatenate([best_d, dist], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(ids, (b, chunk))], axis=1
+        )
+        nd, sel = dops.top_k_smallest(cat_d, k)
+        return (nd, jnp.take_along_axis(cat_i, sel, axis=1)), None
+
+    (dist, ids), _ = jax.lax.scan(
+        step, init, (jnp.arange(n_chunks, dtype=jnp.int32), db_p, words_p)
+    )
+    ids = jnp.where(jnp.isfinite(dist), ids, -1)
+    return dist, ids
