@@ -10,14 +10,26 @@ protocol so host-load variance cancels.
 
 Usage: python scripts/exp_flagship_batch.py
 Prints one JSON line per variant.
+
+Result (2026-08-21, v5e tunnel, ABA order): 256 -> 193.8k / 202.9k QPS,
+512 -> 165.7k QPS. Doubling the batch LOSES ~17%: the [B, chunk]
+transient distance block doubles (halving the streaming chunk budget in
+exact_search's 256 MB bound, so the scan takes more, shorter steps) and
+the blockmin selection row widens, while the matmul was already
+MXU-saturated at B=256. The shipped flagship batch (bench.py BATCH=256)
+stands.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N, D, K = 100_000, 384, 20
 TOTAL = 24_576  # queries per measured stream (bench.py: 96 x 256)
